@@ -1,0 +1,496 @@
+"""CSV → RDF triples conversion for a single (CSV content, compiled
+metadata) pair.
+
+Re-expresses the csv2rdf algorithm of the reference converter
+(``/root/reference/src/DataDock.CsvWeb/Rdf/Converter.cs:227-471``) as a
+pure function: whole-file-in, list-of-triples-out.  This is deliberate —
+inside the Ray pipeline one corpus row carries one whole file, so a single
+``map_batches`` UDF invocation converts whole files and row numbering needs
+no cross-block state (SURVEY.md §7 "per-file ordering").
+
+Differences from the reference, all deliberate and documented:
+
+- **Deterministic blank nodes.** The reference mints fresh bnodes per row
+  (``Converter.cs:340,371``); labels are irrelevant there because tests
+  compare by graph isomorphism.  Distributed retries and global dedup need
+  stable labels, so every bnode label is a content hash of
+  ``(bnode_seed, ordinal)`` where ``bnode_seed`` identifies the input file
+  (repo|path|commit) — identical output for identical input, on any worker.
+- **Dialect fidelity.** ``skipRows`` / ``skipColumns`` / ``trim`` are
+  honored per the CSVW spec (the reference parses but drops them —
+  ``Converter.cs:491-511`` configures neither), because the W3C expected
+  outputs assume they work.
+- **Default lexical normalization** additionally canonicalizes boolean
+  (``1``/``0`` → ``true``/``false``) per the csv2rdf spec.
+"""
+
+from __future__ import annotations
+
+import csv as _csv
+import hashlib
+import io
+from dataclasses import dataclass, field
+
+from ..metadata.datatypes import (
+    CSVW,
+    RDF_TYPE,
+    XSD_BOOLEAN,
+    XSD_DATE,
+    XSD_DATETIME,
+    XSD_DOUBLE,
+    XSD_INTEGER,
+    XSD_STRING,
+    get_annotation_iri,
+)
+from ..metadata.formats import FormatError, format_double_invariant
+from ..metadata.model import CompiledTable, CompiledTableGroup, Dialect
+from ..metadata.spec import expand_url
+from ..uritemplate import UriTemplateBindingError
+from ..urifns import is_absolute_uri, resolve_uri
+from ..rdf.terms import Triple
+from .cells import normalize_cell_value
+
+MODE_STANDARD = "standard"
+MODE_MINIMAL = "minimal"
+
+
+class ConversionError(Exception):
+    pass
+
+
+@dataclass
+class ConversionResult:
+    triples: list = field(default_factory=list)
+    errors: list = field(default_factory=list)
+    rows: int = 0
+
+
+class _BnodeFactory:
+    """Deterministic bnode labels: sha1(seed|ordinal), stable across
+    retries and cluster sizes (SURVEY.md §7 hard parts)."""
+
+    __slots__ = ("seed", "counter")
+
+    def __init__(self, seed: str):
+        self.seed = seed
+        self.counter = 0
+
+    def __call__(self) -> tuple:
+        label = hashlib.sha1(f"{self.seed}|{self.counter}".encode()).hexdigest()[:20]
+        self.counter += 1
+        return ("b", "b" + label)
+
+
+class Converter:
+    """Converts one compiled table group + its CSV file contents.
+
+    ``csv_texts`` maps table url → CSV text.  ``mode`` is standard/minimal
+    (``Rdf/ConverterMode.cs``).  ``suppress_string_datatype`` emits plain
+    literals instead of ``^^xsd:string`` (RDF 1.1), as the reference's test
+    harness does (``Tests/CsvwTestCasesSpec.cs:140``).
+    """
+
+    def __init__(self, mode: str = MODE_STANDARD, suppress_string_datatype: bool = False,
+                 bnode_seed: str = ""):
+        self.mode = mode
+        self.suppress_string_datatype = suppress_string_datatype
+        self._bnode = _BnodeFactory(bnode_seed)
+        self.result = ConversionResult()
+
+    # -- public -------------------------------------------------------------
+
+    def convert(self, group: CompiledTableGroup, csv_texts) -> ConversionResult:
+        if not group.tables:
+            self._error("The CSV metadata must contain at least one table definition.")
+            return self.result
+        emit = self.result.triples.append
+        group_node = None
+        if self.mode == MODE_STANDARD:
+            group_node = ("i", group.id) if group.id else self._bnode()
+            emit(Triple(group_node, RDF_TYPE, ("i", CSVW + "TableGroup")))
+            self._emit_common_properties(group_node, group.common_properties)
+        for table in group.tables:
+            if table.suppress_output:
+                continue
+            text = csv_texts(table.url) if callable(csv_texts) else csv_texts.get(table.url)
+            if text is None:
+                self._error(f"Could not resolve table URL {table.url}")
+                continue
+            self._convert_table(group_node, table, text, emit)
+        return self.result
+
+    # -- internals ----------------------------------------------------------
+
+    def _error(self, message: str) -> None:
+        self.result.errors.append(message)
+
+    def _convert_table(self, group_node, table: CompiledTable, text: str, emit) -> None:
+        table_node = None
+        if self.mode == MODE_STANDARD:
+            table_node = ("i", table.id) if table.id else self._bnode()
+            emit(Triple(group_node, CSVW + "table", table_node))
+            emit(Triple(table_node, RDF_TYPE, ("i", CSVW + "Table")))
+            emit(Triple(table_node, CSVW + "url", ("i", table.url)))
+            self._emit_common_properties(table_node, table.common_properties)
+            if table.notes is not None:
+                self._emit_common_property(table_node, CSVW + "note", table.notes)
+
+        dialect = table.dialect
+        header_row_count = dialect.effective_header_row_count()
+        records = _read_csv(text, dialect)
+
+        # header consumption + schema inference
+        header: list | None = None
+        consumed = 0
+        it = iter(records)
+        for _ in range(header_row_count):
+            try:
+                header_rec = next(it)
+                consumed += 1
+                if header is None:
+                    header = header_rec
+            except StopIteration:
+                break
+
+        columns = list(table.columns)
+        if not table.columns_declared and not columns:
+            if header is not None:
+                seen = set()
+                for name in header:
+                    if name in seen:
+                        continue
+                    seen.add(name)
+                    columns.append(table.inferred_column(name))
+
+        trim = dialect.effective_trim()
+        skip_cols = dialect.skip_columns
+        name_to_index = {c.name: i for i, c in enumerate(columns) if c.name}
+
+        row = 0
+        source_row = dialect.skip_rows + header_row_count
+        for record in it:
+            row += 1
+            source_row += 1
+            fields = record[skip_cols:] if skip_cols else record
+            if trim == "true":
+                fields = [f.strip() for f in fields]
+            elif trim == "start":
+                fields = [f.lstrip() for f in fields]
+            elif trim == "end":
+                fields = [f.rstrip() for f in fields]
+
+            row_node = None
+            if self.mode == MODE_STANDARD:
+                row_node = self._bnode()
+                emit(Triple(table_node, CSVW + "row", row_node))
+                emit(Triple(row_node, RDF_TYPE, ("i", CSVW + "Row")))
+                emit(Triple(row_node, CSVW + "rownum",
+                            ("l", str(row), XSD_INTEGER, None)))
+                emit(Triple(row_node, CSVW + "url",
+                            ("i", f"{table.url}#row={source_row}")))
+
+            s_default = self._bnode()
+            source_column_count = len(fields)
+            col_ix = 0
+            while col_ix < max(source_column_count, len(columns)):
+                if col_ix >= len(columns):
+                    columns.append(table.default_column(col_ix + 1))
+                    if columns[-1].name:
+                        name_to_index.setdefault(columns[-1].name, col_ix)
+                column = columns[col_ix]
+                if column.suppress_output:
+                    col_ix += 1
+                    continue
+                ctx = _CellContext(
+                    row=row, source_row=source_row,
+                    column=col_ix + 1, source_column=skip_cols + col_ix + 1,
+                    name=column.name)
+                try:
+                    self._convert_cell(table, columns, name_to_index, fields,
+                                       column, col_ix, ctx, row_node, s_default, emit)
+                except Exception as ex:  # per-cell error channel (Converter.cs:456-461)
+                    self._error(
+                        f"Conversion error at row {source_row}, column "
+                        f"'{column.name}'. {ex}")
+                col_ix += 1
+        self.result.rows += row
+
+    def _convert_cell(self, table, columns, name_to_index, fields, column,
+                      col_ix, ctx, row_node, s_default, emit) -> None:
+        bindings = _Bindings(table, columns, name_to_index, fields, ctx)
+        if column.about_url is None:
+            s = s_default
+        else:
+            s = self._resolve_template(table, column.about_url, bindings)
+        if self.mode == MODE_STANDARD:
+            emit(Triple(row_node, CSVW + "describes", s))
+        if column.property_url is None:
+            p = resolve_uri(table.url, "#" + (column.name or f"_col.{col_ix + 1}"))
+        else:
+            p_node = self._resolve_template(table, column.property_url, bindings)
+            p = p_node[1] if p_node is not None else None
+        if column.value_url is not None:
+            o = self._resolve_template(table, column.value_url, bindings)
+            if o is not None:
+                emit(Triple(s, p, o))
+            return
+        raw = column.default if column.virtual else (
+            fields[col_ix] if col_ix < len(fields) else column.default)
+        cell = normalize_cell_value(raw, column)
+        for err in cell.errors:
+            self._error(err)
+        if cell.is_list and cell.value_list is not None:
+            for v in cell.value_list:
+                if v is not None:
+                    emit(Triple(s, p, self._create_literal(v, column)))
+        elif not cell.is_list and cell.value is not None:
+            emit(Triple(s, p, self._create_literal(cell.value, column)))
+
+    def _resolve_template(self, table, template, bindings):
+        """Reference ``Converter.ResolveTemplate``: binding failure → None
+        (triple silently dropped by the caller where allowed)."""
+        try:
+            uri = template.resolve(bindings)
+        except UriTemplateBindingError:
+            return None
+        if not is_absolute_uri(uri):
+            uri = resolve_uri(table.url, uri)
+        return ("i", uri)
+
+    def _create_literal(self, value: str, column) -> tuple:
+        datatype = column.datatype
+        datatype_iri = self._annotated_datatype_iri(datatype)
+        if datatype_iri == XSD_STRING:
+            if column.lang:
+                return ("l", value, None, column.lang)
+            if self.suppress_string_datatype:
+                return ("l", value, None, None)
+        value = self._normalize_literal(value, datatype, datatype_iri)
+        return ("l", value, datatype_iri, None)
+
+    @staticmethod
+    def _annotated_datatype_iri(datatype) -> str:
+        if datatype is None:
+            return XSD_STRING
+        if datatype.id is not None:
+            return datatype.id
+        annotation = get_annotation_iri(datatype.base)
+        if annotation is None:
+            raise ConversionError(
+                f"Could not determine the correct IRI for the datatype "
+                f"annotation {datatype.base}")
+        return annotation
+
+    @staticmethod
+    def _normalize_literal(lit: str, datatype, datatype_iri: str) -> str:
+        if datatype is not None and datatype.format is not None:
+            try:
+                return datatype.format.normalize(lit)
+            except FormatError as ex:
+                raise ConversionError(str(ex)) from None
+        if datatype_iri == XSD_DATE:
+            return _default_date_normalize(lit)
+        if datatype_iri == XSD_DATETIME:
+            return _default_datetime_normalize(lit)
+        if datatype_iri == XSD_BOOLEAN:
+            if lit == "1":
+                return "true"
+            if lit == "0":
+                return "false"
+        return lit
+
+    # -- JSON-LD common properties (Rdf/Converter.cs:638-765) ---------------
+
+    def _emit_common_properties(self, subject, common_properties: dict) -> None:
+        for name, value in common_properties.items():
+            self._emit_common_property(subject, expand_url(name), value)
+
+    def _emit_common_property(self, subject, predicate: str, value) -> None:
+        emit = self.result.triples.append
+        if isinstance(value, list):
+            for item in value:
+                self._emit_common_property(subject, predicate, item)
+        elif isinstance(value, dict):
+            if "@value" in value:
+                lit_val = _scalar_to_string(value["@value"])
+                if "@type" in value:
+                    emit(Triple(subject, predicate,
+                                ("l", lit_val, expand_url(value["@type"]), None)))
+                elif "@language" in value:
+                    emit(Triple(subject, predicate,
+                                ("l", lit_val, None, value["@language"])))
+                else:
+                    emit(Triple(subject, predicate, ("l", lit_val, XSD_STRING, None)))
+            else:
+                if "@id" in value:
+                    s = ("i", value["@id"])
+                else:
+                    s = self._bnode()
+                emit(Triple(subject, predicate, s))
+                if "@type" in value:
+                    types = value["@type"]
+                    for t in types if isinstance(types, list) else [types]:
+                        emit(Triple(s, RDF_TYPE, ("i", expand_url(t))))
+                for name, v in value.items():
+                    if not name.startswith("@"):
+                        self._emit_common_property(s, expand_url(name), v)
+        elif isinstance(value, bool):
+            emit(Triple(subject, predicate,
+                        ("l", "true" if value else "false", XSD_BOOLEAN, None)))
+        elif isinstance(value, int):
+            emit(Triple(subject, predicate, ("l", str(value), XSD_INTEGER, None)))
+        elif isinstance(value, float):
+            emit(Triple(subject, predicate,
+                        ("l", _format_double_E(value), XSD_DOUBLE, None)))
+        else:
+            emit(Triple(subject, predicate, ("l", str(value), XSD_STRING, None)))
+
+
+@dataclass
+class _CellContext:
+    row: int
+    source_row: int
+    column: int
+    source_column: int
+    name: str | None
+
+
+class _Bindings:
+    """Template variable lookup (reference ``Converter.ResolveProperty``):
+    ``_row``/``_sourceRow``/``_column``/``_sourceColumn``/``_name`` context
+    variables, else the cell value of the named column; null-set values bind
+    as null → UriTemplateBindingError → dropped triple."""
+
+    __slots__ = ("table", "columns", "name_to_index", "fields", "ctx")
+
+    def __init__(self, table, columns, name_to_index, fields, ctx):
+        self.table = table
+        self.columns = columns
+        self.name_to_index = name_to_index
+        self.fields = fields
+        self.ctx = ctx
+
+    def __call__(self, variable: str):
+        ctx = self.ctx
+        if variable == "_row":
+            return str(ctx.row)
+        if variable == "_sourceRow":
+            return str(ctx.source_row)
+        if variable == "_column":
+            return str(ctx.column)
+        if variable == "_sourceColumn":
+            return str(ctx.source_column)
+        if variable == "_name":
+            return ctx.name
+        index = self.name_to_index.get(variable)
+        if index is None:
+            raise ConversionError(
+                f"Could not find a column named {variable} in the CSV metadata.")
+        column = self.columns[index]
+        if column.virtual:
+            value = column.default
+        else:
+            value = self.fields[index] if index < len(self.fields) else None
+        if value is None or value in column.null:
+            return None  # → UriTemplateBindingError in the template
+        return value
+
+
+def _read_csv(text: str, dialect: Dialect) -> list:
+    """Parse CSV text per the CSVW dialect.  Comment lines (outside quoted
+    fields) and the first ``skipRows`` physical rows are removed before
+    record parsing; blank rows are dropped when ``skipBlankRows``."""
+    lines = io.StringIO(text, newline="")
+    prefix = dialect.comment_prefix
+    kwargs = dict(delimiter=dialect.delimiter or ",")
+    if dialect.quote_char:
+        kwargs["quotechar"] = dialect.quote_char
+        kwargs["doublequote"] = dialect.double_quote
+    else:
+        kwargs["quoting"] = _csv.QUOTE_NONE
+    reader = _csv.reader(lines, **kwargs)
+    records = []
+    physical = 0
+    for record in reader:
+        physical += 1
+        if physical <= dialect.skip_rows:
+            continue
+        if prefix and record and record[0].startswith(prefix):
+            continue
+        if dialect.skip_blank_rows and all(f == "" for f in record):
+            continue
+        if not record:
+            if dialect.skip_blank_rows:
+                continue
+            record = [""]
+        records.append(record)
+    return records
+
+
+def _default_date_normalize(lit: str) -> str:
+    """No-format xsd:date default normalization (reference uses
+    ``DateTime.Parse(lit).ToString("yyyy-MM-dd")``, ``Converter.cs:587-588``)."""
+    import datetime as _dt
+
+    try:
+        return _dt.date.fromisoformat(lit.strip()).isoformat()
+    except ValueError:
+        pass
+    for pattern in ("%Y-%m-%d", "%d/%m/%Y", "%m/%d/%Y", "%d %b %Y", "%d %B %Y"):
+        try:
+            return _dt.datetime.strptime(lit.strip(), pattern).date().isoformat()
+        except ValueError:
+            continue
+    raise ConversionError(f"Could not parse '{lit}' as a date")
+
+
+def _default_datetime_normalize(lit: str) -> str:
+    """No-format xsd:dateTime normalization → ISO, fraction kept only when
+    nonzero, UTC rendered as ``Z``."""
+    import datetime as _dt
+
+    text = lit.strip()
+    iso = text.replace("Z", "+00:00") if text.endswith("Z") else text
+    try:
+        value = _dt.datetime.fromisoformat(iso)
+    except ValueError:
+        raise ConversionError(f"Could not parse '{lit}' as a dateTime") from None
+    out = value.strftime("%Y-%m-%dT%H:%M:%S")
+    if value.microsecond:
+        out += ("%.6f" % (value.microsecond / 1e6))[1:].rstrip("0")
+    if value.tzinfo is not None:
+        offset = value.utcoffset()
+        total = int(offset.total_seconds())
+        if total == 0:
+            out += "Z"
+        else:
+            sign = "+" if total >= 0 else "-"
+            total = abs(total)
+            hh, mm = divmod(total // 60, 60)
+            out += f"{sign}{hh:02d}:{mm:02d}" if mm else f"{sign}{hh:02d}"
+    return out
+
+
+def _scalar_to_string(value) -> str:
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, float):
+        return format_double_invariant(value)
+    return str(value)
+
+
+def _format_double_E(value: float) -> str:
+    """C# ``double.ToString("E")``: 6-digit mantissa, 3-digit exponent
+    (``Rdf/Converter.cs:752``)."""
+    text = f"{value:.6E}"
+    mantissa, exp = text.split("E")
+    sign = exp[0]
+    return f"{mantissa}E{sign}{int(exp[1:]):03d}"
+
+
+def convert_file(metadata_group: CompiledTableGroup, csv_texts, mode: str = MODE_STANDARD,
+                 suppress_string_datatype: bool = False, bnode_seed: str = "") -> ConversionResult:
+    """Convenience one-shot conversion."""
+    converter = Converter(mode=mode, suppress_string_datatype=suppress_string_datatype,
+                          bnode_seed=bnode_seed)
+    return converter.convert(metadata_group, csv_texts)

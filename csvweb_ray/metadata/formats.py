@@ -1,0 +1,351 @@
+"""CSVW datatype *format* specifications (boolean / numeric / date / time /
+dateTime), matching the reference's normalization behavior string-for-string.
+
+Reference classes:
+- ``Metadata/BooleanFormatSpecification.cs`` — ``"T|F"`` two-part format.
+- ``Metadata/NumericFormatSpecification.cs`` — decimalChar / groupChar /
+  pattern; normalize via C#-invariant double/decimal round-trip.
+- ``Metadata/DateFormatSpecification.cs`` + ``TimeFormatSpecification.cs`` +
+  ``DateTimeFormatSpecification.cs`` — Unicode-ish patterns via NodaTime;
+  normalized to (extended) ISO with NodaTime's short offset rendering
+  (``+09``, not ``+09:00``, when offset minutes are zero; ``Z`` for UTC —
+  see ``Tests/data/dateTime.ttl``).
+
+The pattern → parser translation here is hand-rolled (regex-based) because
+Python ``strptime`` cannot express NodaTime's optional-width fields or
+offset specifier variants.  Behavior is pinned by the test matrices in
+``Tests/DateFormatSpecificationSpec.cs:14-34``,
+``Tests/TimeFormatSpecificationSpec.cs:11-40`` and
+``Tests/DateTimeFormatSpecificationSpec.cs``.
+"""
+
+from __future__ import annotations
+
+import re
+from decimal import Decimal, InvalidOperation
+
+
+class FormatError(Exception):
+    """A literal failed to parse under the column's format specification."""
+
+
+class MetadataFormatError(Exception):
+    """The format specification itself is invalid (metadata parse error)."""
+
+
+# ---------------------------------------------------------------------------
+# boolean
+# ---------------------------------------------------------------------------
+
+
+class BooleanFormat:
+    __slots__ = ("true_format", "false_format")
+
+    def __init__(self, fmt: str):
+        parts = fmt.split("|")
+        if len(parts) != 2:
+            raise MetadataFormatError(
+                "The format specifier for a boolean datatype must be two strings "
+                "separated by a | character."
+            )
+        self.true_format, self.false_format = parts
+
+    def is_valid(self, literal: str) -> bool:
+        return literal in (self.true_format, self.false_format)
+
+    def normalize(self, literal: str) -> str:
+        if literal == self.true_format:
+            return "true"
+        if literal == self.false_format:
+            return "false"
+        raise FormatError(
+            f"Could not parse cell value '{literal}' as a boolean according to "
+            "the column format specification."
+        )
+
+
+# ---------------------------------------------------------------------------
+# numeric
+# ---------------------------------------------------------------------------
+
+
+def format_double_invariant(value: float) -> str:
+    """Render a float the way C# ``double.ToString(CultureInfo.InvariantCulture)``
+    does (shortest round-trip; integral values without a decimal point;
+    ``E+NN`` exponent notation with a 2-digit minimum exponent)."""
+    if value != value:  # NaN
+        return "NaN"
+    if value == float("inf"):
+        return "Infinity"
+    if value == float("-inf"):
+        return "-Infinity"
+    if value == int(value) and abs(value) < 1e16:
+        return str(int(value))
+    text = repr(value)
+    if "e" in text:
+        mantissa, exp = text.split("e")
+        exp_i = int(exp)
+        sign = "+" if exp_i >= 0 else "-"
+        if mantissa.endswith(".0"):
+            mantissa = mantissa[:-2]
+        return f"{mantissa}E{sign}{abs(exp_i):02d}"
+    return text
+
+
+class NumericFormat:
+    __slots__ = ("decimal_char", "group_char", "pattern", "_regex")
+
+    def __init__(self, decimal_char: str = ".", group_char: str | None = ",", pattern: str | None = None):
+        self.decimal_char = decimal_char
+        self.group_char = group_char
+        self.pattern = pattern
+        if pattern is not None:
+            valid = {"0", "#", decimal_char, "E", "+", "%", "‰"}
+            if group_char:
+                valid.add(group_char)
+            if any(c not in valid for c in pattern):
+                raise MetadataFormatError("Invalid pattern for numeric format specification.")
+            self._regex = re.compile(
+                pattern.replace("#", r"\d").replace("0", r"\d").replace(".", r"\.")
+            )
+        else:
+            group_pat = "" if not group_char else "|" + re.escape(group_char)
+            dec_pat = re.escape(decimal_char)
+            self._regex = re.compile(
+                r"^(((\+|-)?\d(\d" + group_pat + r")*(" + dec_pat
+                + r"\d+)?((E(\+|-)?\d+)|%|‰)?)|NaN|(-)?INF)$"
+            )
+
+    def is_valid(self, literal: str) -> bool:
+        return bool(self._regex.search(literal))
+
+    def normalize(self, literal: str) -> str:
+        if self.group_char:
+            literal = literal.replace(self.group_char, "")
+        literal = literal.replace(self.decimal_char, ".")
+        if "E" in literal:
+            try:
+                return format_double_invariant(float(literal))
+            except ValueError as ex:
+                raise FormatError(str(ex)) from None
+        try:
+            dec = Decimal(literal)
+        except InvalidOperation:
+            raise FormatError(f"Could not parse '{literal}' as a decimal value.") from None
+        # Decimal preserves trailing zeros and strips leading ones, matching
+        # C# decimal.Parse(...).ToString(InvariantCulture)
+        text = str(dec)
+        if text.startswith("+"):
+            text = text[1:]
+        return text
+
+
+# NOTE on the default (no-format) regex above: the reference's default
+# numeric grammar requires one of exponent/%/‰ at the end
+# (``NumericFormatSpecification.cs:56``) which looks like a bug but is kept
+# intentionally permissive here by making that suffix optional — the
+# reference only calls IsValid from (unenforced) validation, never from the
+# conversion hot path, so this difference is not observable in output.
+
+
+# ---------------------------------------------------------------------------
+# date / time / dateTime
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r"(yyyy|yy|u{1,4}|MM|M|dd|d|HH|H|mm|m|ss|s|S+|XXX|XX|X|xxx|xx|x|Z)")
+
+# offset variant → regex alternatives (derived from the NodaTime pattern
+# translation in ``TimeFormatSpecification.cs:26-41`` and pinned by the
+# InlineData matrices)
+_OFFSET_PATTERNS = {
+    "X": r"(?P<off>Z|[+-]\d{2}(?:\d{2})?)",
+    "XX": r"(?P<off>Z|[+-]\d{4})",
+    "Z": r"(?P<off>Z|[+-]\d{4})",
+    "XXX": r"(?P<off>Z|[+-]\d{2}:\d{2})",
+    "x": r"(?P<off>[+-]\d{2}(?:\d{2})?)",
+    "xx": r"(?P<off>[+-]\d{4})",
+    "xxx": r"(?P<off>[+-]\d{2}:\d{2})",
+}
+
+
+def _compile_datetime_pattern(fmt: str):
+    """Compile a Unicode-ish date/time pattern to a regex with named groups.
+    Returns (regex, has_date, has_time, has_offset)."""
+    out = []
+    has_date = has_time = has_offset = False
+    pos = 0
+    seen = set()
+
+    def add_group(name: str, pat: str) -> str:
+        if name in seen:
+            raise MetadataFormatError(f"Duplicate field '{name}' in pattern '{fmt}'")
+        seen.add(name)
+        return f"(?P<{name}>{pat})"
+
+    for m in _TOKEN_RE.finditer(fmt):
+        if m.start() > pos:
+            out.append(re.escape(fmt[pos : m.start()]))
+        tok = m.group(0)
+        if tok in ("yyyy", "uuuu", "u"):
+            out.append(add_group("year", r"\d{4}"))
+            has_date = True
+        elif tok == "yy":
+            out.append(add_group("year2", r"\d{2}"))
+            has_date = True
+        elif tok == "MM":
+            out.append(add_group("month", r"\d{2}"))
+            has_date = True
+        elif tok == "M":
+            out.append(add_group("month", r"\d{1,2}"))
+            has_date = True
+        elif tok == "dd":
+            out.append(add_group("day", r"\d{2}"))
+            has_date = True
+        elif tok == "d":
+            out.append(add_group("day", r"\d{1,2}"))
+            has_date = True
+        elif tok == "HH":
+            out.append(add_group("hour", r"\d{2}"))
+            has_time = True
+        elif tok == "H":
+            out.append(add_group("hour", r"\d{1,2}"))
+            has_time = True
+        elif tok == "mm":
+            out.append(add_group("minute", r"\d{2}"))
+            has_time = True
+        elif tok == "m":
+            out.append(add_group("minute", r"\d{1,2}"))
+            has_time = True
+        elif tok == "ss":
+            out.append(add_group("second", r"\d{2}"))
+            has_time = True
+        elif tok == "s":
+            out.append(add_group("second", r"\d{1,2}"))
+            has_time = True
+        elif tok[0] == "S":
+            out.append(add_group("frac", r"\d{1,%d}" % len(tok)))
+            has_time = True
+        elif tok in _OFFSET_PATTERNS:
+            out.append(_OFFSET_PATTERNS[tok])
+            has_offset = True
+        else:  # pragma: no cover
+            out.append(re.escape(tok))
+        pos = m.end()
+    if pos < len(fmt):
+        out.append(re.escape(fmt[pos:]))
+    return re.compile("^" + "".join(out) + "$"), has_date, has_time, has_offset
+
+
+def _normalize_offset(off: str) -> str:
+    """NodaTime general-offset rendering: ``Z`` for UTC, ``±HH`` when
+    minutes are zero, else ``±HH:mm``."""
+    if off == "Z":
+        return "Z"
+    sign = off[0]
+    rest = off[1:].replace(":", "")
+    hh = int(rest[:2])
+    mm = int(rest[2:4]) if len(rest) >= 4 else 0
+    if hh == 0 and mm == 0:
+        return "Z"
+    if mm == 0:
+        return f"{sign}{hh:02d}"
+    return f"{sign}{hh:02d}:{mm:02d}"
+
+
+class DateTimeFormatBase:
+    """Shared parse/normalize machinery for date/time/dateTime formats."""
+
+    kind = "dateTime"
+
+    def __init__(self, fmt: str):
+        if fmt is None:
+            raise MetadataFormatError("format must not be null")
+        self._regex, self.has_date, self.has_time, self.has_offset = _compile_datetime_pattern(fmt)
+        self._check_pattern()
+
+    def _check_pattern(self) -> None:
+        pass
+
+    def _parse(self, literal: str):
+        m = self._regex.match(literal)
+        if not m:
+            raise FormatError(f"'{literal}' does not match the expected format")
+        g = m.groupdict()
+        parts = {}
+        if "year" in g and g.get("year") is not None:
+            parts["year"] = int(g["year"])
+        elif g.get("year2") is not None:
+            parts["year"] = 2000 + int(g["year2"])
+        for key in ("month", "day", "hour", "minute", "second"):
+            if g.get(key) is not None:
+                parts[key] = int(g[key])
+        parts.setdefault("hour", 0)
+        parts.setdefault("minute", 0)
+        parts.setdefault("second", 0)
+        frac = g.get("frac")
+        off = g.get("off")
+        if "month" in parts and not (1 <= parts["month"] <= 12):
+            raise FormatError(f"Month out of range in '{literal}'")
+        if "day" in parts and not (1 <= parts["day"] <= 31):
+            raise FormatError(f"Day out of range in '{literal}'")
+        if parts["hour"] > 23 or parts["minute"] > 59 or parts["second"] > 59:
+            raise FormatError(f"Time component out of range in '{literal}'")
+        if "year" in parts and "month" in parts and "day" in parts:
+            import datetime as _dt
+
+            try:
+                _dt.date(parts["year"], parts["month"], parts["day"])
+            except ValueError:
+                raise FormatError(f"Invalid date in '{literal}'") from None
+        return parts, frac, off
+
+    def is_valid(self, literal: str) -> bool:
+        try:
+            self._parse(literal)
+            return True
+        except FormatError:
+            return False
+
+    def normalize(self, literal: str) -> str:
+        parts, frac, off = self._parse(literal)
+        out = []
+        if self.has_date:
+            out.append(f"{parts['year']:04d}-{parts.get('month', 1):02d}-{parts.get('day', 1):02d}")
+            out.append("T")
+        time_txt = f"{parts['hour']:02d}:{parts['minute']:02d}:{parts['second']:02d}"
+        if frac:
+            trimmed = frac.rstrip("0")
+            if trimmed:
+                time_txt += "." + trimmed
+        out.append(time_txt)
+        if off is not None:
+            out.append(_normalize_offset(off))
+        return "".join(out)
+
+
+class DateFormat(DateTimeFormatBase):
+    kind = "date"
+
+    def _check_pattern(self) -> None:
+        if not self.has_date or self.has_time or self.has_offset:
+            raise MetadataFormatError("Invalid date pattern")
+
+    def normalize(self, literal: str) -> str:
+        parts, _, _ = self._parse(literal)
+        return f"{parts['year']:04d}-{parts.get('month', 1):02d}-{parts.get('day', 1):02d}"
+
+
+class TimeFormat(DateTimeFormatBase):
+    kind = "time"
+
+    def _check_pattern(self) -> None:
+        if self.has_date or not self.has_time:
+            raise MetadataFormatError("Invalid time pattern")
+
+
+class DateTimeFormat(DateTimeFormatBase):
+    kind = "dateTime"
+
+    def _check_pattern(self) -> None:
+        if not self.has_date:
+            raise MetadataFormatError("Invalid dateTime pattern")

@@ -1,0 +1,178 @@
+"""Graph comparison: bnode-isomorphism equality and triple precision/recall.
+
+The reference's tests compare output to expected graphs with dotNetRDF's
+``GraphDiff`` (bnode-isomorphism aware) after normalizing plain literals to
+``xsd:string`` (``Tests/CsvwTestCasesSpec.cs:171-190``).  This module
+reimplements that: iterative color refinement over blank nodes with
+backtracking for ties, plus a P/R scorer used by the conformance harness
+(BASELINE.md: triple P/R ≥ 0.95).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+from .terms import literal_key
+
+
+def _norm_triple(t):
+    s, p, o = t
+    return (s, p, literal_key(o))
+
+
+def _is_bnode(node) -> bool:
+    return isinstance(node, tuple) and node[0] == "b"
+
+
+def _ground_part(node):
+    if _is_bnode(node):
+        return ("b",)
+    return node
+
+
+def _signatures(triples):
+    """Iteratively refined bnode color signatures."""
+    adj = defaultdict(list)  # bnode -> list of (role, pred, other-ground-or-marker)
+    bnodes = set()
+    for s, p, o in triples:
+        if _is_bnode(s):
+            bnodes.add(s)
+        if _is_bnode(o):
+            bnodes.add(o)
+    colors = {b: "0" for b in bnodes}
+    for _ in range(max(2, len(bnodes).bit_length() + 2)):
+        new_colors = {}
+        for b in bnodes:
+            sig_parts = []
+            for s, p, o in triples:
+                if s == b:
+                    other = colors.get(o, repr(_ground_part(o))) if _is_bnode(o) else repr(_norm_triple((s, p, o))[2])
+                    sig_parts.append(("out", p, other))
+                if o == b:
+                    other = colors.get(s, "") if _is_bnode(s) else repr(s)
+                    sig_parts.append(("in", p, other))
+            sig_parts.sort()
+            new_colors[b] = hashlib.sha1(repr((colors[b], sig_parts)).encode()).hexdigest()
+        if new_colors == colors:
+            break
+        colors = new_colors
+    return colors
+
+
+def canonical_triples(triples):
+    """Canonicalize bnode labels by refined signature (+ index for ties).
+
+    Ties (automorphic bnodes) get deterministic but arbitrary suffixes; for
+    equality checking use :func:`isomorphic`, which falls back to search.
+    """
+    triples = [_norm_triple(t) for t in triples]
+    colors = _signatures(triples)
+    groups = defaultdict(list)
+    for b, c in colors.items():
+        groups[c].append(b)
+    label = {}
+    for c, members in groups.items():
+        for idx, b in enumerate(sorted(members)):
+            label[b] = ("b", f"c{c[:16]}_{idx}")
+    out = []
+    for s, p, o in triples:
+        out.append((label.get(s, s), p, label.get(o, o)))
+    return sorted(out)
+
+
+def isomorphic(a, b) -> bool:
+    """True when the two triple lists are equal up to bnode relabeling."""
+    a = [_norm_triple(t) for t in a]
+    b = [_norm_triple(t) for t in b]
+    if len(set(a)) != len(set(b)):
+        return False
+    ca, cb = _signatures(a), _signatures(b)
+    # group by color; color multisets must match
+    ga, gb = defaultdict(list), defaultdict(list)
+    for node, c in ca.items():
+        ga[c].append(node)
+    for node, c in cb.items():
+        gb[c].append(node)
+    if set(ga) != set(gb) or any(len(ga[c]) != len(gb[c]) for c in ga):
+        return False
+    set_b = set(b)
+
+    # try direct mapping color-by-color; backtrack over tied groups
+    tied = [c for c in ga if len(ga[c]) > 1]
+    mapping = {}
+    for c in ga:
+        if len(ga[c]) == 1:
+            mapping[ga[c][0]] = gb[c][0]
+
+    def check(mapping_full) -> bool:
+        for s, p, o in a:
+            s2 = mapping_full.get(s, s) if _is_bnode(s) else s
+            o2 = mapping_full.get(o, o) if _is_bnode(o) else o
+            if (s2, p, o2) not in set_b:
+                return False
+        return True
+
+    if not tied:
+        return check(mapping)
+
+    import itertools
+
+    # bounded backtracking (tied groups are tiny in practice)
+    def product_assignments(groups_list):
+        if not groups_list:
+            yield {}
+            return
+        c, rest = groups_list[0], groups_list[1:]
+        for perm in itertools.permutations(gb[c]):
+            assign = dict(zip(ga[c], perm))
+            for tail in product_assignments(rest):
+                tail.update(assign)
+                yield tail
+
+    count = 0
+    for extra in product_assignments(tied):
+        count += 1
+        if count > 100000:
+            return False
+        m = dict(mapping)
+        m.update(extra)
+        if check(m):
+            return True
+    return False
+
+
+def precision_recall(actual, expected) -> tuple[float, float]:
+    """Triple-level P/R with bnode-signature matching.
+
+    Grounded triples compare exactly; bnode-involving triples compare by
+    replacing bnodes with their refined color signature, so structurally
+    matching bnode neighborhoods count as hits even when graphs differ
+    elsewhere.  Exact isomorphism short-circuits to (1.0, 1.0).
+    """
+    actual_n = [_norm_triple(t) for t in set(map(tuple, actual))]
+    expected_n = [_norm_triple(t) for t in set(map(tuple, expected))]
+    if not actual_n and not expected_n:
+        return (1.0, 1.0)
+    if isomorphic(actual_n, expected_n):
+        return (1.0, 1.0)
+    ca, cb = _signatures(actual_n), _signatures(expected_n)
+
+    def keyed(triples, colors):
+        out = []
+        for s, p, o in triples:
+            s2 = ("b", colors[s]) if _is_bnode(s) else s
+            o2 = ("b", colors[o]) if _is_bnode(o) else o
+            out.append((s2, p, o2))
+        return out
+
+    mult_a = defaultdict(int)
+    for t in keyed(actual_n, ca):
+        mult_a[t] += 1
+    mult_b = defaultdict(int)
+    for t in keyed(expected_n, cb):
+        mult_b[t] += 1
+    hits = sum(min(mult_a[t], mult_b[t]) for t in mult_a)
+    precision = hits / max(1, len(actual_n))
+    recall = hits / max(1, len(expected_n))
+    return (precision, recall)
