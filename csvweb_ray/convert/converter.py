@@ -91,9 +91,10 @@ class Converter:
     """
 
     def __init__(self, mode: str = MODE_STANDARD, suppress_string_datatype: bool = False,
-                 bnode_seed: str = ""):
+                 bnode_seed: str = "", encode_iris: bool = False):
         self.mode = mode
         self.suppress_string_datatype = suppress_string_datatype
+        self.encode_iris = encode_iris
         self._bnode = _BnodeFactory(bnode_seed)
         self.result = ConversionResult()
 
@@ -217,7 +218,8 @@ class Converter:
 
     def _convert_cell(self, table, columns, name_to_index, fields, column,
                       col_ix, ctx, row_node, s_default, emit) -> None:
-        bindings = _Bindings(table, columns, name_to_index, fields, ctx)
+        bindings = _Bindings(table, columns, name_to_index, fields, ctx,
+                             self.encode_iris)
         if column.about_url is None:
             s = s_default
         else:
@@ -225,7 +227,14 @@ class Converter:
         if self.mode == MODE_STANDARD:
             emit(Triple(row_node, CSVW + "describes", s))
         if column.property_url is None:
-            p = resolve_uri(table.url, "#" + (column.name or f"_col.{col_ix + 1}"))
+            name = column.name or f"_col.{col_ix + 1}"
+            if self.encode_iris:
+                # the name annotation MUST be percent-encoded per RFC 3986
+                # before use as a fragment identifier (W3C test132); the
+                # reference skips this (golden 'escaping' fixture expects a
+                # raw space), hence the flag.
+                name = _pct_encode_name(name)
+            p = resolve_uri(table.url, "#" + name)
         else:
             p_node = self._resolve_template(table, column.property_url, bindings)
             p = p_node[1] if p_node is not None else None
@@ -265,7 +274,16 @@ class Converter:
                 return ("l", value, None, column.lang)
             if self.suppress_string_datatype:
                 return ("l", value, None, None)
-        value = self._normalize_literal(value, datatype, datatype_iri)
+        try:
+            value = self._normalize_literal(value, datatype, datatype_iri)
+        except ConversionError as ex:
+            # csv2rdf: a value that fails its format/parse gets a warning and
+            # is emitted as a string (W3C test162/test192); the reference
+            # turns this into a dropped triple + error instead.
+            self._error(str(ex))
+            if self.suppress_string_datatype:
+                return ("l", value, None, None)
+            return ("l", value, XSD_STRING, None)
         return ("l", value, datatype_iri, None)
 
     @staticmethod
@@ -284,8 +302,12 @@ class Converter:
     @staticmethod
     def _normalize_literal(lit: str, datatype, datatype_iri: str) -> str:
         if datatype is not None and datatype.format is not None:
+            fmt = datatype.format
             try:
-                return datatype.format.normalize(lit)
+                if hasattr(fmt, "is_valid") and not fmt.is_valid(lit):
+                    raise ConversionError(
+                        f"Value '{lit}' does not match the format specification")
+                return fmt.normalize(lit)
             except FormatError as ex:
                 raise ConversionError(str(ex)) from None
         if datatype_iri == XSD_DATE:
@@ -361,14 +383,15 @@ class _Bindings:
     variables, else the cell value of the named column; null-set values bind
     as null → UriTemplateBindingError → dropped triple."""
 
-    __slots__ = ("table", "columns", "name_to_index", "fields", "ctx")
+    __slots__ = ("table", "columns", "name_to_index", "fields", "ctx", "encode")
 
-    def __init__(self, table, columns, name_to_index, fields, ctx):
+    def __init__(self, table, columns, name_to_index, fields, ctx, encode=False):
         self.table = table
         self.columns = columns
         self.name_to_index = name_to_index
         self.fields = fields
         self.ctx = ctx
+        self.encode = encode
 
     def __call__(self, variable: str):
         ctx = self.ctx
@@ -381,7 +404,7 @@ class _Bindings:
         if variable == "_sourceColumn":
             return str(ctx.source_column)
         if variable == "_name":
-            return ctx.name
+            return _pct_encode_name(ctx.name) if self.encode else ctx.name
         index = self.name_to_index.get(variable)
         if index is None:
             raise ConversionError(
@@ -394,6 +417,23 @@ class _Bindings:
         if value is None or value in column.null:
             return None  # → UriTemplateBindingError in the template
         return value
+
+
+# URI-template varchar set: letters, digits, '_' and '.'; everything else
+# (including '-' and '~') is percent-encoded in name annotations
+# (W3C test188 expects "M%2Dd%2Dyyyy", test283 "%2B0")
+_NAME_SAFE = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789_.")
+
+
+def _pct_encode_name(name: str) -> str:
+    out = []
+    for ch in name:
+        if ch in _NAME_SAFE:
+            out.append(ch)
+        else:
+            out.append("".join(f"%{b:02X}" for b in ch.encode("utf-8")))
+    return "".join(out)
 
 
 def _read_csv(text: str, dialect: Dialect) -> list:
@@ -431,14 +471,21 @@ def _default_date_normalize(lit: str) -> str:
     """No-format xsd:date default normalization (reference uses
     ``DateTime.Parse(lit).ToString("yyyy-MM-dd")``, ``Converter.cs:587-588``)."""
     import datetime as _dt
+    import re as _re
 
+    text = lit.strip()
+    # xsd:date allows an optional timezone suffix; preserve it verbatim
+    tz = ""
+    m = _re.match(r"^(.*?)(Z|[+-]\d{2}:\d{2})$", text)
+    if m:
+        text, tz = m.group(1), m.group(2)
     try:
-        return _dt.date.fromisoformat(lit.strip()).isoformat()
+        return _dt.date.fromisoformat(text).isoformat() + tz
     except ValueError:
         pass
     for pattern in ("%Y-%m-%d", "%d/%m/%Y", "%m/%d/%Y", "%d %b %Y", "%d %B %Y"):
         try:
-            return _dt.datetime.strptime(lit.strip(), pattern).date().isoformat()
+            return _dt.datetime.strptime(text, pattern).date().isoformat() + tz
         except ValueError:
             continue
     raise ConversionError(f"Could not parse '{lit}' as a date")
@@ -489,8 +536,9 @@ def _format_double_E(value: float) -> str:
 
 
 def convert_file(metadata_group: CompiledTableGroup, csv_texts, mode: str = MODE_STANDARD,
-                 suppress_string_datatype: bool = False, bnode_seed: str = "") -> ConversionResult:
+                 suppress_string_datatype: bool = False, bnode_seed: str = "",
+                 encode_iris: bool = False) -> ConversionResult:
     """Convenience one-shot conversion."""
     converter = Converter(mode=mode, suppress_string_datatype=suppress_string_datatype,
-                          bnode_seed=bnode_seed)
+                          bnode_seed=bnode_seed, encode_iris=encode_iris)
     return converter.convert(metadata_group, csv_texts)

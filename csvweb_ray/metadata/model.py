@@ -151,6 +151,7 @@ class ColumnPlan:
     titles: tuple = ()  # tuple of (lang, value)
     suppress_output: bool = False
     virtual: bool = False
+    name_explicit: bool = False  # True when 'name' came from the metadata
     about_url: Optional[UriTemplate] = None
     property_url: Optional[UriTemplate] = None
     value_url: Optional[UriTemplate] = None
@@ -162,12 +163,14 @@ class ColumnPlan:
     required: bool = False
 
     @staticmethod
-    def from_inherited(name, inh: Inherited, titles=(), suppress_output=False, virtual=False) -> "ColumnPlan":
+    def from_inherited(name, inh: Inherited, titles=(), suppress_output=False,
+                       virtual=False, name_explicit=False) -> "ColumnPlan":
         return ColumnPlan(
             name=name,
             titles=tuple(titles),
             suppress_output=suppress_output,
             virtual=virtual,
+            name_explicit=name_explicit,
             about_url=inh.about_url,
             property_url=inh.property_url,
             value_url=inh.value_url,
@@ -193,6 +196,8 @@ class CompiledTable:
     # columns for ragged rows (reference ``Rdf/Converter.cs:473-483``)
     schema_inherited: Inherited = field(default_factory=Inherited)
     columns_declared: bool = True  # False → infer from header at convert time
+    foreign_keys: list = field(default_factory=list)
+    primary_key: object = None
 
     def default_column(self, col_number: int) -> ColumnPlan:
         """Fabricated ``_col.N`` column for ragged/headerless input."""

@@ -143,11 +143,14 @@ class MetadataNormalizer:
                 o[name] = self._normalize_common_property_value(value, context)
             elif name in ARRAY_PROPERTIES:
                 if not isinstance(value, list):
+                    # spec: warn and proceed as if supplied with an empty
+                    # array (W3C test100); the reference drops the property
+                    # entirely (``MetadataNormalizer.cs:107-111``)
                     self.warnings.append(ParserWarning(
                         name,
                         "Expected property value to be an array. "
                         "The given property value will not be processed."))
-                    del o[name]
+                    o[name] = []
                 else:
                     for item in value:
                         if isinstance(item, dict):
@@ -164,18 +167,25 @@ class MetadataNormalizer:
                 elif isinstance(value, dict):
                     self._normalize_object(value, context, name)
                 else:
-                    raise MetadataParseError(
-                        f"Property {name} must be either a URI reference or an "
-                        f"object. Found {type(value).__name__}")
+                    # spec: warn + act as if it were an empty object
+                    # (W3C test106/test107); the reference raises
+                    # (``MetadataNormalizer.cs:146-150``)
+                    self.warnings.append(ParserWarning(
+                        name, f"Property {name} must be either a URI reference "
+                        f"or an object. Found {type(value).__name__}"))
+                    o[name] = {}
+                    self._normalize_object(o[name], context, name)
             elif name in NATURAL_LANGUAGE_PROPERTIES:
                 if isinstance(value, str):
                     o[name] = {context.default_language or "und": [value]}
                 elif isinstance(value, list):
-                    o[name] = {context.default_language or "und": value}
+                    o[name] = {context.default_language or "und":
+                               [v for v in value if isinstance(v, str)]}
                 elif not isinstance(value, dict):
-                    raise MetadataParseError(
-                        f"Property {name} must be either a string, an array of "
-                        f"string or an object. Found {type(value).__name__}")
+                    self.warnings.append(ParserWarning(
+                        name, f"Property {name} must be either a string, an "
+                        f"array of string or an object. Found {type(value).__name__}"))
+                    del o[name]
             elif name in ATOMIC_PROPERTIES:
                 if isinstance(value, str) and name == "datatype":
                     o[name] = {"base": value}
@@ -206,6 +216,11 @@ class MetadataNormalizer:
                 if isinstance(item, dict):
                     return self._process_context(item)
         if isinstance(context, dict):
+            extra = [k for k in context if k not in ("@base", "@language")]
+            if extra:
+                raise MetadataParseError(
+                    "A local @context object may only contain @base and "
+                    f"@language; found {extra}")
             nc = NormalizationContext(self.base_uri)
             if "@base" in context:
                 nc.base_uri = resolve_uri(self.base_uri, context["@base"])
@@ -231,6 +246,15 @@ class MetadataNormalizer:
             return ret
         if isinstance(value, dict):
             if "@value" in value:
+                # @value objects may carry @type XOR @language and nothing
+                # else (W3C test142/test143)
+                extra = [k for k in value if k not in ("@value", "@type", "@language")]
+                if extra:
+                    raise MetadataParseError(
+                        f"A @value object may not contain properties {extra}")
+                if "@type" in value and "@language" in value:
+                    raise MetadataParseError(
+                        "A @value object may not have both @type and @language")
                 return value
             for name in list(value.keys()):
                 if name == "@id":
@@ -239,7 +263,15 @@ class MetadataNormalizer:
                         raise MetadataParseError(
                             "An @id property must not start with '_:'")
                     value[name] = resolve_prefixed_id(vid)
-                elif name != "@type":
+                elif name == "@type":
+                    pass
+                elif name.startswith("@"):
+                    # @list/@set/@language/@graph and faux-keywords are not
+                    # allowed outside a @value object (W3C test135/136/144/146)
+                    raise MetadataParseError(
+                        f"Property {name} is not allowed in a common property "
+                        "object without @value")
+                else:
                     value[name] = self._normalize_common_property_value(value[name], context)
             return value
         return value

@@ -83,6 +83,10 @@ class _Parser:
 
     def _parse_link_property(self, value, property_name: str) -> str:
         if not isinstance(value, str):
+            if property_name == "url":
+                # a table cannot be located without a usable url (W3C test103)
+                raise MetadataParseError(
+                    "Value of the 'url' property must be a string")
             self.warn(property_name, f"Value of property '{property_name}' must be a string")
             return self._resolve_link("")
         return self._resolve_link(value)
@@ -131,15 +135,49 @@ class _Parser:
 
     def parse_root(self, root: dict) -> CompiledTableGroup:
         if "tables" in root:
-            return self.parse_table_group(root)
-        if "url" in root:
+            group = self.parse_table_group(root)
+        elif "url" in root:
             group = CompiledTableGroup()
             group_inherited = Inherited()
             group_dialect = Dialect()
             table = self.parse_table(root, group_inherited, group_dialect)
             group.tables.append(table)
-            return group
-        raise MetadataParseError("Unrecognized root object type")
+        else:
+            raise MetadataParseError("Unrecognized root object type")
+        self._validate_foreign_keys(group)
+        return group
+
+    def _validate_foreign_keys(self, group: CompiledTableGroup) -> None:
+        """Cross-table foreign-key checks (W3C test104/251/252/253): the
+        referenced columns must exist *with explicit names*, and the
+        referenced table must be part of the group."""
+        by_url = {t.url: t for t in group.tables}
+
+        def named(table):
+            return {c.name for c in table.columns if c.name_explicit}
+
+        def refs(value):
+            return value if isinstance(value, list) else [value]
+
+        for table in group.tables:
+            for fk in table.foreign_keys:
+                for col in refs(fk["columnReference"]):
+                    if col not in named(table):
+                        raise MetadataParseError(
+                            f"Foreign key columnReference '{col}' does not "
+                            "match a named column")
+                ref = fk["reference"]
+                if "resource" in ref:
+                    target = by_url.get(ref["resource"])
+                    if target is None:
+                        raise MetadataParseError(
+                            f"Foreign key resource '{ref['resource']}' does "
+                            "not reference a table in the group")
+                    for col in refs(ref["columnReference"]):
+                        if col not in named(target):
+                            raise MetadataParseError(
+                                f"Foreign key reference columnReference "
+                                f"'{col}' does not match a named column")
 
     def parse_table_group(self, root: dict) -> CompiledTableGroup:
         tables = root.get("tables")
@@ -195,65 +233,127 @@ class _Parser:
                             table_inherited: Inherited) -> None:
         schema_inherited = self.parse_inherited(root).overlay(table_inherited)
         table.schema_inherited = schema_inherited
+        # a present-but-empty schema object means "declared, no columns"
+        # (→ _col.N fabrication), not header inference (W3C test100/test107)
+        table.columns_declared = True
         if "columns" in root:
             cols = root["columns"]
             if not isinstance(cols, list):
                 raise MetadataParseError("The value of the 'columns' property must be a JSON array")
-            table.columns_declared = True
             for i, item in enumerate(cols):
                 if not isinstance(item, dict):
                     raise MetadataParseError("The items in the 'columns' array must be JSON objects")
                 table.columns.append(self.parse_column(item, i + 1, schema_inherited))
-        else:
-            table.columns_declared = False
+            # duplicate explicit names are fatal (W3C test128)
+            seen: dict = {}
+            for col in table.columns:
+                if col.name and not col.name.startswith("_col."):
+                    if col.name in seen:
+                        raise MetadataParseError(
+                            f"Duplicate column name '{col.name}'")
+                    seen[col.name] = col
+            # virtual columns must come after all non-virtual ones (test133)
+            saw_virtual = False
+            for col in table.columns:
+                if col.virtual:
+                    saw_virtual = True
+                elif saw_virtual:
+                    raise MetadataParseError(
+                        "Virtual columns must appear after all non-virtual columns")
+        table.foreign_keys = self._parse_foreign_keys(root)
+        table.primary_key = root.get("primaryKey")
+
+    def _parse_foreign_keys(self, schema_root: dict) -> list:
+        """Structural validation of ``foreignKeys`` (W3C test104/108/251-253/
+        271/272); the reference ignores foreign keys entirely."""
+        fks = schema_root.get("foreignKeys")
+        if fks is None:
+            return []
+        if not isinstance(fks, list):
+            raise MetadataParseError("The value of 'foreignKeys' must be an array")
+        out = []
+        for fk in fks:
+            if not isinstance(fk, dict):
+                raise MetadataParseError("Each foreign key must be an object")
+            extra = [k for k in fk if k not in ("columnReference", "reference")]
+            if extra:
+                raise MetadataParseError(
+                    f"Foreign key contains invalid properties {extra}")
+            if "columnReference" not in fk or "reference" not in fk:
+                raise MetadataParseError(
+                    "A foreign key requires columnReference and reference")
+            ref = fk["reference"]
+            if not isinstance(ref, dict):
+                raise MetadataParseError("Foreign key reference must be an object")
+            ref_extra = [k for k in ref
+                         if k not in ("resource", "schemaReference", "columnReference")]
+            if ref_extra:
+                raise MetadataParseError(
+                    f"Foreign key reference contains invalid properties {ref_extra}")
+            if "columnReference" not in ref:
+                raise MetadataParseError(
+                    "A foreign key reference requires columnReference")
+            if ("resource" in ref) == ("schemaReference" in ref):
+                raise MetadataParseError(
+                    "A foreign key reference requires exactly one of resource "
+                    "or schemaReference")
+            out.append(fk)
+        return out
 
     def parse_column(self, root: dict, column_number: int,
                      schema_inherited: Inherited) -> ColumnPlan:
         name = None
+        name_explicit = False
         if "name" in root:
             if not isinstance(root["name"], str):
-                raise MetadataParseError("The value of the 'name' property must be a string")
-            name = root["name"]
-            if name.startswith("_"):
-                raise MetadataParseError(
-                    f"Column name {name} is not valid. Column names must not "
-                    "start with an _ character.")
+                # spec: warn + ignore invalid name (W3C test114/test129);
+                # the reference raises (``JsonMetadataParser.cs:213``)
+                self.warn("name", "The value of the 'name' property must be a string")
+            elif not _is_valid_column_name(root["name"]):
+                # names must be URI-template variables and must not start
+                # with '_' (W3C test130/test131): warn + fall back to titles
+                self.warn("name", f"Column name {root['name']} is not valid.")
+            else:
+                name = root["name"]
+                name_explicit = True
         titles: list[tuple[str, str]] = []
         if "titles" in root:
             titles = self._parse_natural_language(root["titles"])
         virtual = False
         if "virtual" in root:
             if not isinstance(root["virtual"], bool):
-                raise MetadataParseError("The value of the 'virtual' property must be a boolean")
-            virtual = root["virtual"]
+                self.warn("virtual", "The value of the 'virtual' property must be a boolean")
+            else:
+                virtual = root["virtual"]
         if name is None and titles:
+            # first title with the context default language, else 'und'
+            # (W3C test149: a title in another language does NOT become the
+            # name — such columns fall through to _col.N)
             for want in (self.default_language, "und"):
                 if want is None:
                     continue
                 for tag, value in titles:
-                    if tag == want:
+                    if tag == want or (want != "und" and
+                                       tag.split("-")[0] == want.split("-")[0]):
                         name = value
                         break
                 if name is not None:
                     break
-            if name is None:
-                # spec-order fallback: first title in any language
-                name = titles[0][1]
         if name is None:
             name = f"_col.{column_number}"
         suppress = self._parse_suppress_output(root)
         inh = self.parse_inherited(root).overlay(schema_inherited)
-        if "default" in root and not isinstance(root["default"], str):
-            raise MetadataParseError("The value of the 'default' property must be a string")
         return ColumnPlan.from_inherited(
-            name, inh, titles=titles, suppress_output=suppress, virtual=virtual)
+            name, inh, titles=titles, suppress_output=suppress, virtual=virtual,
+            name_explicit=name_explicit)
 
     def _parse_suppress_output(self, root: dict) -> bool:
         if "suppressOutput" in root:
             value = root["suppressOutput"]
             if not isinstance(value, bool):
-                raise MetadataParseError(
-                    "The value of the 'suppressOutput' property must be a boolean")
+                self.warn("suppressOutput",
+                          "The value of the 'suppressOutput' property must be a boolean")
+                return False
             return value
         return False
 
@@ -362,7 +462,7 @@ class _Parser:
             if isinstance(value, str) or value is None:
                 inh.separator = value
             else:
-                raise MetadataParseError("The value of the 'separator' property must be a string")
+                self.warn("separator", "The value of the 'separator' property must be a string")
         if "required" in root:
             value = root["required"]
             if isinstance(value, bool):
@@ -380,7 +480,7 @@ class _Parser:
             if isinstance(value, str):
                 inh.default = value
             else:
-                raise MetadataParseError("The value of the 'default' property must be a string")
+                self.warn("default", "The value of the 'default' property must be a string")
         return inh
 
     # -- datatype ----------------------------------------------------------
@@ -399,11 +499,26 @@ class _Parser:
         else:
             dt.base = "string"
         if "@id" in root and isinstance(root["@id"], str):
-            dt.id = root["@id"]
+            dt_id = root["@id"]
+            # @id must not be a bnode label nor redefine a built-in datatype
+            # (W3C test243/test244/test267)
+            if dt_id.startswith("_:"):
+                raise MetadataParseError("A datatype @id must not start with '_:'")
+            from .datatypes import _ANNOTATIONS
+            if dt_id in set(_ANNOTATIONS.values()):
+                raise MetadataParseError(
+                    f"A datatype @id must not be a built-in datatype IRI: {dt_id}")
+            dt.id = dt_id
         if "format" in root:
             value = root["format"]
             try:
-                if dt.base == "boolean":
+                if dt.base in ("boolean", "date", "time", "datetime", "dateTime",
+                               "dateTimeStamp") and isinstance(value, dict):
+                    # only numeric formats take the object form; elsewhere it
+                    # is a bad format string → warn + ignore (W3C test184/191)
+                    self.warn("format",
+                              f"The format for datatype '{dt.base}' must be a string")
+                elif dt.base == "boolean":
                     dt.format = fmt.BooleanFormat(_as_format_string(value))
                 elif dt.base == "date":
                     dt.format = fmt.DateFormat(_as_format_string(value))
@@ -428,6 +543,18 @@ class _Parser:
                               f"Format annotations on datatype '{dt.base}' are ignored")
             except fmt.MetadataFormatError as ex:
                 raise MetadataParseError(str(ex)) from None
+        length = root.get("length")
+        min_length = root.get("minLength")
+        max_length = root.get("maxLength")
+        if (isinstance(min_length, int) and isinstance(max_length, int)
+                and min_length > max_length):
+            raise MetadataParseError(
+                "minLength must not be greater than maxLength (W3C test261)")
+        if isinstance(length, int):
+            if isinstance(min_length, int) and length < min_length:
+                raise MetadataParseError("length must not be less than minLength")
+            if isinstance(max_length, int) and length > max_length:
+                raise MetadataParseError("length must not be greater than maxLength")
         constraints = []
         for key, kind in (("minimum", "min"), ("minInclusive", "min"),
                           ("minExclusive", "minExclusive"), ("maximum", "max"),
@@ -450,7 +577,8 @@ class _Parser:
         if "notes" in root:
             value = root["notes"]
             if not isinstance(value, list):
-                raise MetadataParseError("The value of the 'notes' property must be a JSON array")
+                self.warn("notes", "The value of the 'notes' property must be a JSON array")
+                return None
             return value
         return None
 
@@ -459,3 +587,13 @@ def _as_format_string(value) -> str:
     if isinstance(value, str):
         return value
     raise MetadataParseError("Expected format to be a string")
+
+
+_COLUMN_NAME_RE = __import__("re").compile(
+    r"^(?:[A-Za-z0-9_]|%[0-9A-Fa-f]{2})(?:[A-Za-z0-9_.]|%[0-9A-Fa-f]{2})*$")
+
+
+def _is_valid_column_name(name: str) -> bool:
+    """URI-template variable syntax (RFC 6570 varname) and the CSVW rule
+    that names must not begin with ``_``."""
+    return bool(_COLUMN_NAME_RE.match(name)) and not name.startswith("_")

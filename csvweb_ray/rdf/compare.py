@@ -31,6 +31,36 @@ def _ground_part(node):
     return node
 
 
+def _signature_rounds(triples, max_rounds: int = 4):
+    """Color dicts per refinement depth: depth 0 = all bnodes one color."""
+    bnodes = set()
+    for s, p, o in triples:
+        if _is_bnode(s):
+            bnodes.add(s)
+        if _is_bnode(o):
+            bnodes.add(o)
+    colors = {b: "0" for b in bnodes}
+    rounds = [dict(colors)]
+    for _ in range(max_rounds):
+        new_colors = {}
+        for b in bnodes:
+            sig_parts = []
+            for s, p, o in triples:
+                if s == b:
+                    other = colors.get(o) if _is_bnode(o) else repr(o)
+                    sig_parts.append(("out", p, other))
+                if o == b:
+                    other = colors.get(s) if _is_bnode(s) else repr(s)
+                    sig_parts.append(("in", p, other))
+            sig_parts.sort()
+            new_colors[b] = hashlib.sha1(repr((colors[b], sig_parts)).encode()).hexdigest()
+        if new_colors == colors:
+            break
+        colors = new_colors
+        rounds.append(dict(colors))
+    return rounds
+
+
 def _signatures(triples):
     """Iteratively refined bnode color signatures."""
     adj = defaultdict(list)  # bnode -> list of (role, pred, other-ground-or-marker)
@@ -150,29 +180,33 @@ def precision_recall(actual, expected) -> tuple[float, float]:
     matching bnode neighborhoods count as hits even when graphs differ
     elsewhere.  Exact isomorphism short-circuits to (1.0, 1.0).
     """
-    actual_n = [_norm_triple(t) for t in set(map(tuple, actual))]
-    expected_n = [_norm_triple(t) for t in set(map(tuple, expected))]
+    actual_n = list({_norm_triple(t) for t in map(tuple, actual)})
+    expected_n = list({_norm_triple(t) for t in map(tuple, expected)})
     if not actual_n and not expected_n:
         return (1.0, 1.0)
     if isomorphic(actual_n, expected_n):
         return (1.0, 1.0)
-    ca, cb = _signatures(actual_n), _signatures(expected_n)
 
     def keyed(triples, colors):
-        out = []
+        out = defaultdict(int)
         for s, p, o in triples:
             s2 = ("b", colors[s]) if _is_bnode(s) else s
             o2 = ("b", colors[o]) if _is_bnode(o) else o
-            out.append((s2, p, o2))
+            out[(s2, p, o2)] += 1
         return out
 
-    mult_a = defaultdict(int)
-    for t in keyed(actual_n, ca):
-        mult_a[t] += 1
-    mult_b = defaultdict(int)
-    for t in keyed(expected_n, cb):
-        mult_b[t] += 1
-    hits = sum(min(mult_a[t], mult_b[t]) for t in mult_a)
-    precision = hits / max(1, len(actual_n))
-    recall = hits / max(1, len(expected_n))
+    # near-miss graphs make refined colors diverge everywhere (one differing
+    # triple recolors every connected bnode), so score at every refinement
+    # depth and keep the best — depth 0 approximates "any bnode can match
+    # any bnode", deeper rounds approximate exact alignment.
+    rounds_a = _signature_rounds(actual_n)
+    rounds_b = _signature_rounds(expected_n)
+    best_hits = 0
+    for ca, cb in zip(rounds_a, rounds_b):
+        mult_a = keyed(actual_n, ca)
+        mult_b = keyed(expected_n, cb)
+        hits = sum(min(n, mult_b.get(t, 0)) for t, n in mult_a.items())
+        best_hits = max(best_hits, hits)
+    precision = best_hits / max(1, len(actual_n))
+    recall = best_hits / max(1, len(expected_n))
     return (precision, recall)
