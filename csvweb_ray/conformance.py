@@ -208,7 +208,14 @@ def run_suite_test(test: SuiteTest, fetch, base: str = DEFAULT_BASE,
                     candidates.append(resolved[len(base):])
             candidates.append(test.action + "-metadata.json")
             dirname = os.path.dirname(test.action)
-            candidates.append((dirname + "/" if dirname else "") + "csv-metadata.json")
+            prefix = dirname + "/" if dirname else ""
+            # the published site-wide configuration at
+            # http://www.w3.org/.well-known/csvm lists, in order:
+            # {+url}-metadata.json, {+url}.json, csvm.json, csv-metadata.json
+            # (W3C test259/test260 rely on the last two entries)
+            candidates.append(test.action + ".json")
+            candidates.append(prefix + "csvm.json")
+            candidates.append(prefix + "csv-metadata.json")
             action_url = base + test.action
             for cand in candidates:
                 metadata_text = fetch(cand)

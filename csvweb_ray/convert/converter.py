@@ -189,6 +189,23 @@ class Converter:
                             ("l", str(row), XSD_INTEGER, None)))
                 emit(Triple(row_node, CSVW + "url",
                             ("i", f"{table.url}#row={source_row}")))
+                if table.row_titles:
+                    # 4.6.6: row titles from the named columns (W3C test235/236)
+                    for title_col in table.row_titles:
+                        idx = name_to_index.get(title_col)
+                        if idx is None or idx >= len(fields):
+                            continue
+                        tv = fields[idx]
+                        if tv is None or tv == "":
+                            continue
+                        lang = columns[idx].lang
+                        if lang:
+                            emit(Triple(row_node, CSVW + "title", ("l", tv, None, lang)))
+                        elif self.suppress_string_datatype:
+                            emit(Triple(row_node, CSVW + "title", ("l", tv, None, None)))
+                        else:
+                            emit(Triple(row_node, CSVW + "title",
+                                        ("l", tv, XSD_STRING, None)))
 
             s_default = self._bnode()
             source_column_count = len(fields)
@@ -249,8 +266,25 @@ class Converter:
         for err in cell.errors:
             self._error(err)
         if cell.is_list and cell.value_list is not None:
-            for v in cell.value_list:
-                if v is not None:
+            values = [v for v in cell.value_list if v is not None]
+            if column.ordered and values:
+                # ordered lists become rdf:List structures (csv2rdf 4.6.8.5,
+                # W3C test306/307); unordered lists repeat the predicate
+                RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                head = None
+                prev = None
+                for v in values:
+                    node = self._bnode()
+                    if head is None:
+                        head = node
+                    else:
+                        emit(Triple(prev, RDF_NS + "rest", node))
+                    emit(Triple(node, RDF_NS + "first", self._create_literal(v, column)))
+                    prev = node
+                emit(Triple(prev, RDF_NS + "rest", ("i", RDF_NS + "nil")))
+                emit(Triple(s, p, head))
+            else:
+                for v in values:
                     emit(Triple(s, p, self._create_literal(v, column)))
         elif not cell.is_list and cell.value is not None:
             emit(Triple(s, p, self._create_literal(cell.value, column)))
@@ -276,6 +310,10 @@ class Converter:
                 return ("l", value, None, None)
         try:
             value = self._normalize_literal(value, datatype, datatype_iri)
+            base = datatype.base if datatype is not None else "string"
+            if not _lexical_ok(base, value):
+                raise ConversionError(
+                    f"Value '{value}' is not in the lexical space of {base}")
         except ConversionError as ex:
             # csv2rdf: a value that fails its format/parse gets a warning and
             # is emitted as a string (W3C test162/test192); the reference
@@ -284,7 +322,37 @@ class Converter:
             if self.suppress_string_datatype:
                 return ("l", value, None, None)
             return ("l", value, XSD_STRING, None)
+        if datatype is not None and datatype.constraints:
+            if not self._check_constraints(value, datatype):
+                # violation → warning + string value (W3C test203-215)
+                if self.suppress_string_datatype:
+                    return ("l", value, None, None)
+                return ("l", value, XSD_STRING, None)
         return ("l", value, datatype_iri, None)
+
+    def _check_constraints(self, value: str, datatype) -> bool:
+        """Value/length-constraint enforcement (the reference stubs this out,
+        ``Converter.cs:527-531``); violations are reported as errors."""
+        from ..metadata.model import LengthConstraint
+
+        ok = True
+        for constraint in datatype.constraints:
+            subject = value
+            if isinstance(constraint, LengthConstraint):
+                # binary types measure the decoded byte length (W3C test195)
+                if datatype.base in ("base64Binary", "binary"):
+                    import base64 as _b64
+                    try:
+                        subject = _b64.b64decode(value)
+                    except Exception:
+                        pass
+                elif datatype.base == "hexBinary":
+                    subject = bytes(len(value) // 2)
+            if not constraint.is_satisfied(subject):
+                ok = False
+                self._error(f"Value '{value}' violates a constraint "
+                            f"({constraint})")
+        return ok
 
     @staticmethod
     def _annotated_datatype_iri(datatype) -> str:
@@ -419,6 +487,92 @@ class _Bindings:
         return value
 
 
+import re as _re2
+
+_INT_RE = _re2.compile(r"^[+-]?\d+$")
+_DEC_RE = _re2.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)$")
+_FLOAT_RE = _re2.compile(r"^([+-]?(\d+(\.\d*)?|\.\d+)([Ee][+-]?\d+)?|NaN|[+-]?INF)$")
+_TIME_RE = _re2.compile(r"^\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?$")
+_DATETIME_RE = _re2.compile(
+    r"^-?\d{4,}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:?\d{2}|[+-]\d{2})?$")
+_DATE_RE = _re2.compile(r"^-?\d{4,}-\d{2}-\d{2}(Z|[+-]\d{2}:\d{2})?$")
+_DURATION_RE = _re2.compile(
+    r"^-?P(?=.)(\d+Y)?(\d+M)?(\d+D)?(T(?=.)(\d+H)?(\d+M)?(\d+(\.\d+)?S)?)?$")
+_GYEAR_RE = _re2.compile(r"^-?\d{4,}(Z|[+-]\d{2}:\d{2})?$")
+_GYEARMONTH_RE = _re2.compile(r"^-?\d{4,}-\d{2}(Z|[+-]\d{2}:\d{2})?$")
+_GMONTH_RE = _re2.compile(r"^--\d{2}(Z|[+-]\d{2}:\d{2})?$")
+_GMONTHDAY_RE = _re2.compile(r"^--\d{2}-\d{2}(Z|[+-]\d{2}:\d{2})?$")
+_GDAY_RE = _re2.compile(r"^---\d{2}(Z|[+-]\d{2}:\d{2})?$")
+_HEX_RE = _re2.compile(r"^([0-9A-Fa-f]{2})*$")
+_B64_RE = _re2.compile(r"^[A-Za-z0-9+/=\s]*$")
+
+_INT_RANGES = {
+    "byte": (-128, 127), "short": (-32768, 32767),
+    "int": (-2147483648, 2147483647),
+    "long": (-9223372036854775808, 9223372036854775807),
+    "unsignedByte": (0, 255), "unsignedShort": (0, 65535),
+    "unsignedInt": (0, 4294967295), "unsignedLong": (0, 18446744073709551615),
+    "nonNegativeInteger": (0, None), "positiveInteger": (1, None),
+    "negativeInteger": (None, -1), "nonPositiveInteger": (None, 0),
+    "integer": (None, None),
+}
+
+
+def _lexical_ok(base: str, value: str) -> bool:
+    """Post-normalization check that a value is in the lexical space of its
+    datatype base (csv2rdf requires a warning + string fallback when not —
+    W3C test157, the test162-182 family)."""
+    if base in _INT_RANGES:
+        if not _INT_RE.match(value):
+            return False
+        lo, hi = _INT_RANGES[base]
+        n = int(value)
+        if lo is not None and n < lo:
+            return False
+        if hi is not None and n > hi:
+            return False
+        return True
+    if base == "decimal":
+        return bool(_DEC_RE.match(value))
+    if base in ("double", "float", "number"):
+        return bool(_FLOAT_RE.match(value))
+    if base == "boolean":
+        return value in ("true", "false", "1", "0")
+    if base == "time":
+        return bool(_TIME_RE.match(value))
+    if base in ("dateTime", "datetime"):
+        return bool(_DATETIME_RE.match(value))
+    if base == "dateTimeStamp":
+        return bool(_DATETIME_RE.match(value)) and value[-1] in "Z0123456789"
+    if base == "date":
+        return bool(_DATE_RE.match(value))
+    if base == "duration":
+        return bool(_DURATION_RE.match(value))
+    if base == "dayTimeDuration":
+        return bool(_DURATION_RE.match(value)) and "Y" not in value and (
+            "M" not in value.split("T")[0])
+    if base == "yearMonthDuration":
+        return bool(_DURATION_RE.match(value)) and "T" not in value and "D" not in value
+    if base == "gYear":
+        return bool(_GYEAR_RE.match(value))
+    if base == "gYearMonth":
+        return bool(_GYEARMONTH_RE.match(value))
+    if base == "gMonth":
+        return bool(_GMONTH_RE.match(value))
+    if base == "gMonthDay":
+        return bool(_GMONTHDAY_RE.match(value))
+    if base == "gDay":
+        return bool(_GDAY_RE.match(value))
+    if base == "hexBinary":
+        return bool(_HEX_RE.match(value))
+    if base == "base64Binary":
+        return bool(_B64_RE.match(value))
+    if base == "language":
+        from ..metadata.langtag import is_valid_language_tag
+        return is_valid_language_tag(value)
+    return True
+
+
 # URI-template varchar set: letters, digits, '_' and '.'; everything else
 # (including '-' and '~') is percent-encoded in name annotations
 # (W3C test188 expects "M%2Dd%2Dyyyy", test283 "%2B0")
@@ -514,7 +668,7 @@ def _default_datetime_normalize(lit: str) -> str:
             sign = "+" if total >= 0 else "-"
             total = abs(total)
             hh, mm = divmod(total // 60, 60)
-            out += f"{sign}{hh:02d}:{mm:02d}" if mm else f"{sign}{hh:02d}"
+            out += f"{sign}{hh:02d}:{mm:02d}"
     return out
 
 

@@ -104,102 +104,193 @@ class NumericFormat:
     that behavior is implemented here.
     """
 
-    __slots__ = ("decimal_char", "group_char", "pattern", "_regex")
+    __slots__ = ("decimal_char", "group_char", "pattern", "_spec", "_regex")
 
     def __init__(self, decimal_char: str = ".", group_char: str | None = ",",
                  pattern: str | None = None):
         self.decimal_char = decimal_char or "."
         self.group_char = group_char
         self.pattern = pattern
+        self._spec = None
+        self._regex = None
         if pattern is not None:
             valid = {"0", "#", self.decimal_char, "E", "e", "+", "-", "%", "‰"}
             if group_char:
                 valid.add(group_char)
             if any(c not in valid for c in pattern):
                 raise MetadataFormatError("Invalid pattern for numeric format specification.")
-            self._regex = self._compile_pattern(pattern)
+            self._spec = self._parse_pattern(pattern)
         else:
-            group_pat = "" if not group_char else re.escape(group_char)
+            # single group separators between digit runs; ',,' is invalid
+            # (W3C test162)
+            group_pat = re.escape(self.group_char) if self.group_char else None
             dec_pat = re.escape(self.decimal_char)
+            int_part = (r"\d+(?:" + group_pat + r"\d+)*") if group_pat else r"\d+"
             self._regex = re.compile(
-                r"^((\+|-)?(\d|" + (group_pat or r"(?!)") + r")*\d?("
-                + dec_pat + r"\d+)?([Ee](\+|-)?\d+)?(%|‰)?|NaN|(\+|-)?INF)$"
-            )
+                r"^((\+|-)?" + int_part + r"(" + dec_pat
+                + r"\d+)?([Ee](\+|-)?\d+)?(%|‰)?|NaN|(\+|-)?INF)$")
 
-    def _compile_pattern(self, pattern: str):
+    def _parse_pattern(self, pattern: str) -> dict:
         dc, gc = self.decimal_char, self.group_char
         i, n = 0, len(pattern)
-        out = []
+        spec = {"prefix": "", "suffix": "", "int_min": 0, "int_hash": False,
+                "int_group": False, "frac_min": 0, "frac_max": 0,
+                "frac_group": False, "has_frac": False, "exp_min": 0,
+                "exp_hash": False, "has_exp": False, "exp_sign": False}
 
         def take_affix():
             nonlocal i
-            affix = []
+            out = []
             while i < n and pattern[i] in "+-%‰":
-                ch = pattern[i]
-                affix.append("[+-]" if ch == "+" else re.escape(ch))
+                out.append(pattern[i])
                 i += 1
-            return affix
+            return "".join(out)
 
-        prefix = take_affix()
-        if not any(a == "[+-]" for a in prefix):
-            prefix.insert(0, "[+-]?")
-        out.extend(prefix)
-        # integer part
-        int_min = 0
-        has_hash = False
-        has_group = False
+        spec["prefix"] = take_affix()
+        runs = [0]
         while i < n and (pattern[i] in "0#" or (gc and pattern[i] == gc)):
-            if pattern[i] == "0":
-                int_min += 1
-            elif pattern[i] == "#":
-                has_hash = True
+            ch = pattern[i]
+            if ch == "0":
+                spec["int_min"] += 1
+                runs[-1] += 1
+            elif ch == "#":
+                spec["int_hash"] = True
+                runs[-1] += 1
             else:
-                has_group = True
+                spec["int_group"] = True
+                runs.append(0)
             i += 1
-        digit = r"[\d" + re.escape(gc) + "]" if (has_group and gc) else r"\d"
-        if has_hash:
-            out.append(digit + "{%d,}" % max(int_min, 1))
+        # UAX-35 group sizes: primary from the rightmost separator,
+        # secondary from the next (defaults to primary) — W3C test282-295
+        if spec["int_group"] and len(runs) >= 2:
+            spec["group_primary"] = runs[-1]
+            spec["group_secondary"] = runs[-2] if len(runs) >= 3 else runs[-1]
         else:
-            out.append(digit + "{%d}" % int_min if int_min else "")
-        # fraction part
+            spec["group_primary"] = spec["group_secondary"] = None
         if i < n and pattern[i] == dc:
+            spec["has_frac"] = True
             i += 1
-            f_min = f_max = 0
-            while i < n and pattern[i] in "0#":
-                if pattern[i] == "0":
-                    f_min += 1
-                f_max += 1
-                i += 1
-            frag = re.escape(dc) + r"\d{%d,%d}" % (max(f_min, 1), f_max)
-            if f_min == 0:
-                frag = "(?:" + re.escape(dc) + r"\d{1,%d})?" % f_max
-            out.append(frag)
-        # exponent
-        if i < n and pattern[i] in "Ee":
-            i += 1
-            e_sign = ""
-            if i < n and pattern[i] == "+":
-                e_sign = "[+-]"
-                i += 1
-            else:
-                e_sign = "[+-]?"
-            e_min = 0
-            e_hash = False
-            while i < n and pattern[i] in "0#":
-                if pattern[i] == "0":
-                    e_min += 1
+            while i < n and (pattern[i] in "0#" or (gc and pattern[i] == gc)):
+                ch = pattern[i]
+                if ch == "0":
+                    spec["frac_min"] += 1
+                    spec["frac_max"] += 1
+                elif ch == "#":
+                    spec["frac_max"] += 1
                 else:
-                    e_hash = True
+                    spec["frac_group"] = True
                 i += 1
-            out.append("[Ee]" + e_sign
-                       + (r"\d{%d,}" % max(e_min, 1) if e_hash else r"\d{%d}" % max(e_min, 1)))
-        out.extend(take_affix())
+        if i < n and pattern[i] in "Ee":
+            spec["has_exp"] = True
+            i += 1
+            if i < n and pattern[i] == "+":
+                spec["exp_sign"] = True
+                i += 1
+            while i < n and pattern[i] in "0#":
+                if pattern[i] == "0":
+                    spec["exp_min"] += 1
+                else:
+                    spec["exp_hash"] = True
+                i += 1
+        spec["suffix"] = take_affix()
         if i < n:
             raise MetadataFormatError("Invalid pattern for numeric format specification.")
-        return re.compile("^" + "".join(out) + "$")
+        return spec
+
+    def _digits_ok(self, text: str, grouped: bool) -> int | None:
+        """Digit count of a digit run with optional single group separators;
+        None when malformed."""
+        if not text:
+            return 0
+        gc = self.group_char
+        if grouped and gc:
+            parts = text.split(gc)
+            if any(p == "" for p in parts):
+                return None
+            text = "".join(parts)
+        if not text.isdigit():
+            return None
+        return len(text)
 
     def is_valid(self, literal: str) -> bool:
-        return bool(self._regex.match(literal))
+        if self._regex is not None:
+            return bool(self._regex.match(literal))
+        s = self._spec
+        text = literal
+        # prefix: an explicit '+' in the pattern requires a sign; a sign is
+        # always permitted (W3C test283 row 2)
+        for ch in s["prefix"]:
+            if ch == "+":
+                if text[:1] in ("+", "-"):
+                    text = text[1:]
+                else:
+                    return False
+            elif text[:1] == ch:
+                text = text[1:]
+            else:
+                return False
+        if "+" not in s["prefix"] and text[:1] in ("+", "-"):
+            text = text[1:]
+        for ch in reversed(s["suffix"]):
+            if text[-1:] == ch:
+                text = text[:-1]
+            else:
+                return False
+        # exponent
+        if s["has_exp"]:
+            m = re.search(r"[Ee]([+-]?)(.*)$", text)
+            if not m:
+                return False
+            exp_digits = m.group(2)
+            if not exp_digits.isdigit():
+                return False
+            if s["exp_hash"]:
+                if len(exp_digits) < max(s["exp_min"], 1):
+                    return False
+            elif len(exp_digits) != max(s["exp_min"], 1):
+                return False
+            text = text[: m.start()]
+        elif re.search(r"[Ee]", text):
+            return False
+        # mantissa
+        dc = self.decimal_char
+        if dc in text:
+            if not s["has_frac"] or s["frac_max"] == 0:
+                return False
+            int_part, frac_part = text.split(dc, 1)
+            frac_digits = self._digits_ok(frac_part, s["frac_group"])
+            if frac_digits is None or not (s["frac_min"] <= frac_digits <= s["frac_max"]):
+                return False
+        else:
+            if s["frac_min"] > 0:
+                return False
+            int_part = text
+        gc = self.group_char
+        if s["int_group"] and gc and s["group_primary"]:
+            primary, secondary = s["group_primary"], s["group_secondary"]
+            groups = int_part.split(gc)
+            if any(not g.isdigit() for g in groups):
+                return False
+            if len(groups) == 1:
+                # ungrouped input must fit within the primary group
+                if len(groups[0]) > primary:
+                    return False
+            else:
+                if len(groups[-1]) != primary:
+                    return False
+                for g in groups[1:-1]:
+                    if len(g) != secondary:
+                        return False
+                if not (1 <= len(groups[0]) <= secondary):
+                    return False
+            int_digits = sum(len(g) for g in groups)
+        else:
+            int_digits = self._digits_ok(int_part, s["int_group"])
+            if int_digits is None:
+                return False
+        if s["int_hash"]:
+            return int_digits >= s["int_min"]
+        return int_digits == s["int_min"] if s["int_min"] else int_digits >= 0
 
     def normalize(self, literal: str) -> str:
         if self.group_char:
@@ -222,7 +313,10 @@ class NumericFormat:
             except InvalidOperation:
                 raise FormatError(
                     f"Could not parse '{literal}' as a decimal value.") from None
-        # otherwise keep the lexical form as matched (W3C test283: '+1' stays)
+        # otherwise keep the lexical form as matched (W3C test283: '+1' stays);
+        # exponents render with a lowercase 'e' (W3C test158 expects '0.0e0')
+        if self._spec is not None and self._spec["has_exp"]:
+            literal = literal.replace("E", "e")
         return literal
 
 
@@ -314,9 +408,11 @@ def _compile_datetime_pattern(fmt: str):
     return re.compile("^" + "".join(out) + "$"), has_date, has_time, has_offset
 
 
-def _normalize_offset(off: str) -> str:
-    """NodaTime general-offset rendering: ``Z`` for UTC, ``±HH`` when
-    minutes are zero, else ``±HH:mm``."""
+def _normalize_offset(off: str, full: bool = False) -> str:
+    """Offset rendering. Default mirrors NodaTime's general pattern used by
+    the reference (``Z`` for UTC, ``±HH`` when minutes are zero — the golden
+    ``dateTime.ttl`` expects ``+09``); ``full=True`` renders the W3C
+    suite's canonical ``±HH:MM``."""
     if off == "Z":
         return "Z"
     sign = off[0]
@@ -325,6 +421,8 @@ def _normalize_offset(off: str) -> str:
     mm = int(rest[2:4]) if len(rest) >= 4 else 0
     if hh == 0 and mm == 0:
         return "Z"
+    if full:
+        return f"{sign}{hh:02d}:{mm:02d}"
     if mm == 0:
         return f"{sign}{hh:02d}"
     return f"{sign}{hh:02d}:{mm:02d}"
@@ -335,9 +433,10 @@ class DateTimeFormatBase:
 
     kind = "dateTime"
 
-    def __init__(self, fmt: str):
+    def __init__(self, fmt: str, full_offsets: bool = False):
         if fmt is None:
             raise MetadataFormatError("format must not be null")
+        self.full_offsets = full_offsets
         self._regex, self.has_date, self.has_time, self.has_offset = _compile_datetime_pattern(fmt)
         self._check_pattern()
 
@@ -397,7 +496,7 @@ class DateTimeFormatBase:
                 time_txt += "." + trimmed
         out.append(time_txt)
         if off is not None:
-            out.append(_normalize_offset(off))
+            out.append(_normalize_offset(off, self.full_offsets))
         return "".join(out)
 
 
@@ -414,7 +513,7 @@ class DateFormat(DateTimeFormatBase):
         parts, _, off = self._parse(literal)
         out = f"{parts['year']:04d}-{parts.get('month', 1):02d}-{parts.get('day', 1):02d}"
         if off is not None:
-            out += _normalize_offset(off)
+            out += _normalize_offset(off, self.full_offsets)
         return out
 
 
@@ -432,3 +531,27 @@ class DateTimeFormat(DateTimeFormatBase):
     def _check_pattern(self) -> None:
         if not self.has_date:
             raise MetadataFormatError("Invalid dateTime pattern")
+
+
+class RegexFormat:
+    """Format for datatypes outside the special boolean/numeric/temporal
+    set: the format string is an (anchored) regular expression per the CSVW
+    metadata spec (W3C test194 — durations)."""
+
+    __slots__ = ("pattern", "_regex")
+
+    def __init__(self, pattern: str):
+        self.pattern = pattern
+        try:
+            self._regex = re.compile(pattern)
+        except re.error as ex:
+            raise MetadataFormatError(f"Invalid regex format: {ex}") from None
+
+    def is_valid(self, literal: str) -> bool:
+        return self._regex.fullmatch(literal) is not None
+
+    def normalize(self, literal: str) -> str:
+        if not self.is_valid(literal):
+            raise FormatError(
+                f"Value '{literal}' does not match the format regular expression")
+        return literal

@@ -37,7 +37,9 @@ class ParserWarning:
 class Dialect:
     """CSV parsing configuration (reference ``Metadata/Dialect.cs:8-31``)."""
 
-    comment_prefix: str = "#"
+    # the reference defaults to "#" (``Dialect.cs:10``) but the CSVW spec
+    # default is null — W3C test286 has data rows that begin with '#'
+    comment_prefix: Optional[str] = None
     delimiter: str = ","
     double_quote: bool = True
     encoding: str = "utf-8"
@@ -64,20 +66,32 @@ class Dialect:
 
 @dataclass
 class ValueConstraint:
-    """Numeric min/max constraint (reference ``Metadata/ValueConstraint.cs``)."""
+    """min/max constraint (reference ``Metadata/ValueConstraint.cs``); the
+    threshold is a float for numeric datatypes or an ISO lexical string for
+    temporal ones (compared lexicographically, which is order-preserving for
+    same-precision ISO dates/times)."""
 
     kind: str  # "min" | "max" | "minExclusive" | "maxExclusive"
-    threshold: float = 0.0
+    threshold: object = 0.0
 
-    def is_satisfied(self, value: float) -> bool:
+    def is_satisfied(self, value) -> bool:
+        threshold = self.threshold
+        if isinstance(threshold, float):
+            try:
+                value = float(value)
+            except (TypeError, ValueError):
+                return True
+        else:
+            value = str(value)
+            threshold = str(threshold)
         if self.kind == "min":
-            return value >= self.threshold
+            return value >= threshold
         if self.kind == "max":
-            return value <= self.threshold
+            return value <= threshold
         if self.kind == "minExclusive":
-            return value > self.threshold
+            return value > threshold
         if self.kind == "maxExclusive":
-            return value < self.threshold
+            return value < threshold
         return True
 
 
@@ -161,6 +175,7 @@ class ColumnPlan:
     null: tuple = ("",)
     separator: Optional[str] = None
     required: bool = False
+    ordered: bool = False
 
     @staticmethod
     def from_inherited(name, inh: Inherited, titles=(), suppress_output=False,
@@ -180,6 +195,7 @@ class ColumnPlan:
             null=inh.null if inh.null is not None else ("",),
             separator=inh.separator,
             required=bool(inh.required),
+            ordered=bool(inh.ordered),
         )
 
 
@@ -198,6 +214,7 @@ class CompiledTable:
     columns_declared: bool = True  # False → infer from header at convert time
     foreign_keys: list = field(default_factory=list)
     primary_key: object = None
+    row_titles: object = None  # str | list[str] | None (schema "rowTitles")
 
     def default_column(self, col_number: int) -> ColumnPlan:
         """Fabricated ``_col.N`` column for ragged/headerless input."""

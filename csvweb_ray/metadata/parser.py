@@ -262,6 +262,11 @@ class _Parser:
                         "Virtual columns must appear after all non-virtual columns")
         table.foreign_keys = self._parse_foreign_keys(root)
         table.primary_key = root.get("primaryKey")
+        rt = root.get("rowTitles")
+        if isinstance(rt, str):
+            table.row_titles = [rt]
+        elif isinstance(rt, list):
+            table.row_titles = [r for r in rt if isinstance(r, str)]
 
     def _parse_foreign_keys(self, schema_root: dict) -> list:
         """Structural validation of ``foreignKeys`` (W3C test104/108/251-253/
@@ -274,7 +279,9 @@ class _Parser:
         out = []
         for fk in fks:
             if not isinstance(fk, dict):
-                raise MetadataParseError("Each foreign key must be an object")
+                # inconsistent entry types → warn + skip entry (W3C test097)
+                self.warn("foreignKeys", "Each foreign key must be an object")
+                continue
             extra = [k for k in fk if k not in ("columnReference", "reference")]
             if extra:
                 raise MetadataParseError(
@@ -377,7 +384,7 @@ class _Parser:
 
     def parse_dialect(self, root: dict) -> Dialect:
         dialect = Dialect(
-            comment_prefix=self._string_prop(root, "commentPrefix", "#"),
+            comment_prefix=self._string_prop(root, "commentPrefix", None, allow_null=True),
             delimiter=self._string_prop(root, "delimiter", ","),
             double_quote=self._bool_prop(root, "doubleQuote", True),
             encoding=self._string_prop(root, "encoding", "utf-8"),
@@ -519,30 +526,96 @@ class _Parser:
                     self.warn("format",
                               f"The format for datatype '{dt.base}' must be a string")
                 elif dt.base == "boolean":
-                    dt.format = fmt.BooleanFormat(_as_format_string(value))
+                    try:
+                        dt.format = fmt.BooleanFormat(_as_format_string(value))
+                    except fmt.MetadataFormatError:
+                        # bad boolean format string → warn + ignore (test269)
+                        self.warn("format",
+                                  "The format specifier for a boolean datatype "
+                                  "must be two strings separated by |")
                 elif dt.base == "date":
-                    dt.format = fmt.DateFormat(_as_format_string(value))
+                    dt.format = fmt.DateFormat(_as_format_string(value),
+                                               full_offsets=self.encode)
                 elif dt.base == "time":
-                    dt.format = fmt.TimeFormat(_as_format_string(value))
+                    dt.format = fmt.TimeFormat(_as_format_string(value),
+                                               full_offsets=self.encode)
                 elif dt.base in ("datetime", "dateTime", "dateTimeStamp"):
-                    dt.format = fmt.DateTimeFormat(_as_format_string(value))
-                elif dt.base in ("number", "decimal", "double", "float"):
-                    if isinstance(value, dict):
-                        dt.format = fmt.NumericFormat(
-                            value.get("decimalChar", ".")[:1] or ".",
-                            (value.get("groupChar", ",")[:1] or ","),
-                            value.get("pattern"))
-                    else:
-                        dt.format = fmt.NumericFormat(pattern=_as_format_string(value))
+                    dt.format = fmt.DateTimeFormat(_as_format_string(value),
+                                                   full_offsets=self.encode)
+                elif dt.base in _NUMERIC_BASES:
+                    # the reference only accepts formats on
+                    # number/decimal/double/float (``JsonMetadataParser.cs:
+                    # 628-645``); the spec applies them to every numeric type
+                    # (W3C test282 uses integer patterns)
+                    try:
+                        if isinstance(value, dict):
+                            dt.format = fmt.NumericFormat(
+                                value.get("decimalChar", ".")[:1] or ".",
+                                (value.get("groupChar", ",")[:1] or ","),
+                                value.get("pattern"))
+                        else:
+                            dt.format = fmt.NumericFormat(pattern=_as_format_string(value))
+                    except fmt.MetadataFormatError:
+                        # bad pattern → warn + ignore format (W3C test156/159)
+                        self.warn("format", "Invalid numeric format pattern")
                 else:
-                    # The reference raises NotImplementedException here
-                    # (``JsonMetadataParser.cs:647``); per the CSVW spec a
-                    # format on other datatypes is a validation regex — record
-                    # a warning and ignore (validation is permissive anyway).
-                    self.warn("format",
-                              f"Format annotations on datatype '{dt.base}' are ignored")
+                    # other datatypes take a regular-expression format
+                    # (W3C test194); the reference raises
+                    # NotImplementedException (``JsonMetadataParser.cs:647``)
+                    try:
+                        dt.format = fmt.RegexFormat(_as_format_string(value))
+                    except fmt.MetadataFormatError:
+                        self.warn("format",
+                                  f"Invalid regex format on datatype '{dt.base}'")
             except fmt.MetadataFormatError as ex:
                 raise MetadataParseError(str(ex)) from None
+        # constraint applicability + consistency (W3C test201/216-227):
+        numericish = dt.base in _VALUE_CONSTRAINABLE
+        stringish = dt.base in _LENGTH_CONSTRAINABLE
+        if any(k in root for k in ("minimum", "maximum", "minInclusive",
+                                   "maxInclusive", "minExclusive", "maxExclusive")):
+            if not numericish:
+                raise MetadataParseError(
+                    f"Value constraints are not allowed on datatype '{dt.base}'")
+        if any(k in root for k in ("length", "minLength", "maxLength")):
+            if not stringish:
+                raise MetadataParseError(
+                    f"Length constraints are not allowed on datatype '{dt.base}'")
+        if ("minInclusive" in root or "minimum" in root) and "minExclusive" in root:
+            raise MetadataParseError(
+                "minInclusive and minExclusive must not both be specified")
+        if ("maxInclusive" in root or "maximum" in root) and "maxExclusive" in root:
+            raise MetadataParseError(
+                "maxInclusive and maxExclusive must not both be specified")
+
+        def _num(key):
+            v = root.get(key)
+            if isinstance(v, bool):
+                return None
+            if isinstance(v, (int, float)):
+                return float(v)
+            if isinstance(v, str):
+                # temporal thresholds: ISO lexical forms compare
+                # lexicographically (W3C test218-221)
+                return v
+            return None
+
+        min_inc = _num("minInclusive") if "minInclusive" in root else _num("minimum")
+        max_inc = _num("maxInclusive") if "maxInclusive" in root else _num("maximum")
+        min_exc, max_exc = _num("minExclusive"), _num("maxExclusive")
+        for a, b in ((min_inc, max_inc), (min_inc, max_exc), (min_exc, max_exc),
+                     (min_exc, max_inc)):
+            if a is not None and b is not None and type(a) is not type(b):
+                raise MetadataParseError("Inconsistent constraint value types")
+        if min_inc is not None and max_inc is not None and max_inc < min_inc:
+            raise MetadataParseError("maxInclusive must be >= minInclusive")
+        if min_inc is not None and max_exc is not None and max_exc <= min_inc:
+            raise MetadataParseError("maxExclusive must be > minInclusive")
+        if min_exc is not None and max_exc is not None and max_exc < min_exc:
+            raise MetadataParseError("maxExclusive must be >= minExclusive")
+        if min_exc is not None and max_inc is not None and max_inc <= min_exc:
+            raise MetadataParseError("maxInclusive must be > minExclusive")
+
         length = root.get("length")
         min_length = root.get("minLength")
         max_length = root.get("maxLength")
@@ -563,8 +636,20 @@ class _Parser:
                 value = root[key]
                 if isinstance(value, (int, float)) and not isinstance(value, bool):
                     constraints.append(ValueConstraint(kind=kind, threshold=float(value)))
+                elif isinstance(value, str):
+                    # temporal constraints compare ISO lexical forms
+                    # (W3C test210-215)
+                    constraints.append(ValueConstraint(kind=kind, threshold=value))
                 else:
-                    self.warn(key, "Only numeric minimum and maximum constraints are supported")
+                    self.warn(key, "Unsupported constraint value type")
+        lc = []
+        for key, attr in (("length", "length"), ("minLength", "min_length"),
+                          ("maxLength", "max_length")):
+            if key in root and isinstance(root[key], int):
+                lc.append((attr, root[key]))
+        if lc:
+            from .model import LengthConstraint
+            constraints.append(LengthConstraint(**dict(lc)))
         dt.constraints = tuple(constraints)
         return dt
 
@@ -588,6 +673,30 @@ def _as_format_string(value) -> str:
         return value
     raise MetadataParseError("Expected format to be a string")
 
+
+_NUMERIC_BASES = frozenset({
+    "number", "decimal", "double", "float", "integer", "long", "int", "short",
+    "byte", "nonNegativeInteger", "positiveInteger", "unsignedLong",
+    "unsignedInt", "unsignedShort", "unsignedByte", "nonPositiveInteger",
+    "negativeInteger",
+})
+
+# datatype bases that accept value (min/max) constraints
+_VALUE_CONSTRAINABLE = frozenset({
+    "number", "decimal", "double", "float", "integer", "long", "int", "short",
+    "byte", "nonNegativeInteger", "positiveInteger", "unsignedLong",
+    "unsignedInt", "unsignedShort", "unsignedByte", "nonPositiveInteger",
+    "negativeInteger", "date", "dateTime", "datetime", "dateTimeStamp", "time",
+    "gYear", "gYearMonth", "gMonth", "gMonthDay", "gDay", "duration",
+    "dayTimeDuration", "yearMonthDuration",
+})
+
+# datatype bases that accept length constraints
+_LENGTH_CONSTRAINABLE = frozenset({
+    "string", "normalizedString", "token", "language", "Name", "NMTOKEN",
+    "xml", "html", "json", "anyAtomicType", "any", "base64Binary", "binary",
+    "hexBinary",
+})
 
 _COLUMN_NAME_RE = __import__("re").compile(
     r"^(?:[A-Za-z0-9_]|%[0-9A-Fa-f]{2})(?:[A-Za-z0-9_.]|%[0-9A-Fa-f]{2})*$")

@@ -81,6 +81,13 @@ def expand_url(value: str) -> str:
     ctx = csvw_prefix_map()
     term = ctx.get(value)
     if term is not None:
+        # context terms may themselves be prefixed (e.g. "Table" →
+        # "csvw:Table"); expand once more (W3C test263)
+        if ":" in term and "://" not in term:
+            prefix, suffix = term.split(":", 1)
+            mapped = ctx.get(prefix)
+            if mapped is not None:
+                return mapped + suffix
         return term
     if ":" in value:
         prefix, suffix = value.split(":", 1)
