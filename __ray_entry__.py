@@ -1,44 +1,457 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: flagship entry, per-operator queries, DuckDB oracles.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the library) calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Every SQL-expressible operator has an ``oracle_sql`` twin with IDENTICAL
+column names; floating-point aggregates are rounded the same way on both
+sides.  Non-SQL operators (the CSVW KG pipeline itself, MinHash/SimHash
+LSH, winnowing fingerprints, language-ID, LSH ANN) return deterministic
+results and rely on the driver's rows-only check plus the repo's own
+pytest oracles (golden fixtures + W3C suite via rdf isomorphism).
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+FIXTURES = os.path.join(REPO, "fixtures")
+
+
+def _cfg():
+    from csvweb_ray.raycfg import configure
+
+    configure()
+
+
+def _ensure_cols(df, cols: dict):
+    """Zero-row grouped results lose their schema (Ray drops empty
+    blocks); re-impose the expected columns/dtypes."""
+    import pandas as pd
+
+    if len(df) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+    return df[list(cols)]
+
+
+def _docs_corpus(sf_dir: str):
+    """Render the driver's ``documents`` table into a synthetic code-repo
+    corpus (CSV files + CSVW metadata) — the flagship pipeline's input
+    shape (repo, path, commit, lang, content)."""
+    import pyarrow.parquet as pq
+
+    from csvweb_ray.corpus import fixture_corpus_rows, rows_to_table, table_corpus_rows
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    rows = table_corpus_rows(docs, "docs", rows_per_file=100)
+    rows += fixture_corpus_rows(FIXTURES)
+    return rows_to_table(rows)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: sf0.001 documents + reference golden fixtures → corpus →
+    scan → pair → convert → dedup → sort → N-Triples parquet; returns the
+    final triples Dataset."""
+    _cfg()
+    import ray.data as rd
+
+    from csvweb_ray.pipeline.runner import run_kg_pipeline
+
+    corpus = _docs_corpus("/root/testdata/sf0.001")
+    out = os.path.join(tempfile.gettempdir(), "csvweb_ray_entry")
+    shutil.rmtree(out, ignore_errors=True)
+    report = run_kg_pipeline(corpus, out, num_shards=8, with_linking=True)
+    return rd.read_parquet(report["final_dir"])
+
+
+# ---------------------------------------------------------------------------
+# queries
+
+def _q_kg_golden(sf_dir: str):
+    """CSVW KG pipeline over the reference golden corpus (scale-free);
+    correctness is separately gated by graph-isomorphism pytest."""
+    _cfg()
+    import ray.data as rd
+
+    from csvweb_ray.corpus import fixture_corpus_rows, rows_to_table
+    from csvweb_ray.pipeline.runner import run_kg_pipeline
+
+    out = os.path.join(tempfile.gettempdir(), "csvweb_ray_q_golden")
+    shutil.rmtree(out, ignore_errors=True)
+    report = run_kg_pipeline(rows_to_table(fixture_corpus_rows(FIXTURES)),
+                             out, num_shards=4)
+    return rd.read_parquet(report["final_dir"]).sort("nt") \
+        .select_columns(["subj", "pred", "obj_value", "nt"])
+
+
+def _q_kg_docs(sf_dir: str):
+    """CSVW KG pipeline over a corpus rendered from the documents table at
+    sf scale — the scale-bearing flagship run."""
+    _cfg()
+    import ray.data as rd
+
+    from csvweb_ray.pipeline.runner import run_kg_pipeline
+
+    out = os.path.join(tempfile.gettempdir(), "csvweb_ray_q_docs")
+    shutil.rmtree(out, ignore_errors=True)
+    report = run_kg_pipeline(_docs_corpus(sf_dir), out, num_shards=8)
+    ds = rd.read_parquet(report["final_dir"])
+
+    def _count(b):
+        import pyarrow as pa
+
+        return pa.table({"pred": b["pred"]})
+
+    from ray.data.aggregate import Count
+
+    out_ds = (ds.map_batches(_count, batch_format="pyarrow")
+              .groupby("pred").aggregate(Count(alias_name="n_triples")))
+    return out_ds.to_pandas().sort_values("pred").reset_index(drop=True)
+
+
+def _q_doc_sha256(sf_dir: str):
+    """G2 invariant: per-row content sha256 (DuckDB sha256 oracle)."""
+    _cfg()
+    import hashlib
+
+    import pyarrow as pa
+
+    from csvweb_ray.queries import T
+
+    def _sha(b: pa.Table) -> pa.Table:
+        vals = [hashlib.sha256((t or "").encode()).hexdigest()
+                for t in b["text"].to_pylist()]
+        return pa.table({"doc_id": b["doc_id"],
+                         "content_sha256": pa.array(vals, type=pa.string())})
+
+    return (T(sf_dir, "documents", columns=["doc_id", "text"])
+            .map_batches(_sha, batch_format="pyarrow").sort("doc_id"))
+
+
+def _q_exact_dedup(sf_dir: str):
+    _cfg()
+    from ray.data.aggregate import Count, Min
+
+    from csvweb_ray.ops.dedup import add_sha256_column
+    from csvweb_ray.queries import T
+
+    ds = add_sha256_column(T(sf_dir, "documents", columns=["doc_id", "text"]))
+    out = (ds.groupby("text_sha256")
+           .aggregate(Min("doc_id", alias_name="keep_id"),
+                      Count(alias_name="n_dups")))
+    return out.to_pandas()[["keep_id", "n_dups"]] \
+        .sort_values("keep_id").reset_index(drop=True)
+
+
+def _q_token_count(sf_dir: str):
+    _cfg()
+    from ray.data.aggregate import Count, Sum
+
+    from csvweb_ray.ops.text import token_count
+    from csvweb_ray.queries import T
+
+    ds = token_count(T(sf_dir, "documents", columns=["doc_id", "lang", "text"]))
+    out = (ds.groupby("lang")
+           .aggregate(Sum("ws_tokens", alias_name="total_ws_tokens"),
+                      Count(alias_name="n_docs")))
+    return out.to_pandas().sort_values("lang").reset_index(drop=True)
+
+
+def _q_text_stats(sf_dir: str):
+    _cfg()
+    from csvweb_ray.ops.text import quality_score
+    from csvweb_ray.queries import T
+
+    ds = quality_score(T(sf_dir, "documents", columns=["doc_id", "text"]))
+    df = (ds.select_columns(["doc_id", "n_chars_calc", "n_sentences"])
+          .sort("doc_id").to_pandas())
+    return df
+
+
+def _q_quality(sf_dir: str):
+    """Full quality-scoring surface (composite score is heuristic → rows
+    only)."""
+    _cfg()
+    from csvweb_ray.ops.text import quality_score
+    from csvweb_ray.queries import T
+
+    ds = quality_score(T(sf_dir, "documents", columns=["doc_id", "text"]))
+    return (ds.select_columns(["doc_id", "n_words", "stopword_ratio", "quality"])
+            .sort("doc_id").to_pandas().round(6))
+
+
+def _q_lang_id(sf_dir: str):
+    _cfg()
+    from ray.data.aggregate import Count
+
+    from csvweb_ray.ops.text import lang_id
+    from csvweb_ray.queries import T
+
+    ds = lang_id(T(sf_dir, "documents", columns=["doc_id", "text"]), concurrency=2)
+    out = ds.groupby("lang_pred").aggregate(Count(alias_name="n_docs"))
+    return out.to_pandas().sort_values("lang_pred").reset_index(drop=True)
+
+
+def _q_fingerprint(sf_dir: str):
+    _cfg()
+    from csvweb_ray.ops.text import fingerprint
+    from csvweb_ray.queries import T
+
+    ds = fingerprint(T(sf_dir, "documents", columns=["doc_id", "text"]))
+    return (ds.select_columns(["doc_id", "fingerprint"])
+            .sort("doc_id").to_pandas())
+
+
+def _q_minhash_pairs(sf_dir: str):
+    _cfg()
+    from csvweb_ray.ops.dedup import lsh_candidate_pairs, minhash_signatures
+    from csvweb_ray.queries import T
+
+    sigs = minhash_signatures(
+        T(sf_dir, "documents", columns=["doc_id", "text"]), num_perm=64)
+    pairs = lsh_candidate_pairs(sigs, num_bands=16, threshold=0.5)
+    df = _ensure_cols(pairs.to_pandas(),
+                      {"a": "int64", "b": "int64", "est_jaccard": "float64"})
+    return df.sort_values(["a", "b"]).reset_index(drop=True).round(4)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    _cfg()
+    from csvweb_ray.ops.dedup import simhash_candidate_pairs, simhash_signatures
+    from csvweb_ray.queries import T
+
+    sigs = simhash_signatures(T(sf_dir, "documents", columns=["doc_id", "text"]))
+    pairs = simhash_candidate_pairs(sigs, max_hamming=3)
+    df = _ensure_cols(pairs.to_pandas(),
+                      {"a": "int64", "b": "int64", "hamming": "int64"})
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    """Exact n-gram Jaccard verification of MinHash candidates."""
+    _cfg()
+    from csvweb_ray.ops.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        verify_jaccard_pairs,
+    )
+    from csvweb_ray.queries import T
+
+    docs = T(sf_dir, "documents", columns=["doc_id", "text"])
+    sigs = minhash_signatures(docs, num_perm=64)
+    cands = lsh_candidate_pairs(sigs, num_bands=16, threshold=0.4)
+    verified = verify_jaccard_pairs(docs, cands, threshold=0.5)
+    df = _ensure_cols(verified.to_pandas(),
+                      {"a": "int64", "b": "int64", "jaccard": "float64"})
+    return df.sort_values(["a", "b"]).reset_index(drop=True).round(4)
+
+
+def _q_embedding_neardup(sf_dir: str):
+    """Brute-force-equivalent near-dup (num_planes=0 → exact) with DuckDB
+    list_cosine_similarity oracle; restricted to vec_id % 5 == 0 to bound
+    the oracle's O(n²)."""
+    _cfg()
+    import numpy as np
+    import pyarrow as pa
+
+    from csvweb_ray.ops.dedup import embedding_neardup_pairs
+    from csvweb_ray.queries import T
+
+    def _every5(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["vec_id"].to_pylist())
+        return b.filter(pa.array(ids % 5 == 0))
+
+    emb = T(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+        _every5, batch_format="pyarrow")
+    pairs = embedding_neardup_pairs(emb, threshold=0.9, num_planes=0)
+    df = _ensure_cols(pairs.to_pandas(),
+                      {"a": "int64", "b": "int64", "cosine": "float64"})
+    df = df.sort_values(["a", "b"])
+    df["cosine"] = df["cosine"].round(4)
+    return df.reset_index(drop=True)
+
+
+def _q_embedding_neardup_lsh(sf_dir: str):
+    """LSH-bucketed near-dup (the scale path; recall < 1 by design)."""
+    _cfg()
+    from csvweb_ray.ops.dedup import embedding_neardup_pairs
+    from csvweb_ray.queries import T
+
+    emb = T(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = embedding_neardup_pairs(emb, threshold=0.9, num_planes=8)
+    df = _ensure_cols(pairs.to_pandas(),
+                      {"a": "int64", "b": "int64", "cosine": "float64"})
+    df = df.sort_values(["a", "b"])
+    df["cosine"] = df["cosine"].round(4)
+    return df.reset_index(drop=True)
+
+
+def _q_ann_topk(sf_dir: str):
+    """Exact cosine top-10 for the first 4 vectors as queries."""
+    _cfg()
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from csvweb_ray.ops.similarity import ann_topk
+    from csvweb_ray.queries import T
+
+    emb_file = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+    first = emb_file.slice(0, 4).to_pylist()
+    queries = np.asarray([r["embedding"] for r in sorted(first, key=lambda r: r["vec_id"])])
+    out = ann_topk(T(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+                   queries, k=10)
+    df = out.to_pandas()[["query_id", "vec_id", "score"]]
+    df["score"] = df["score"].round(3)
+    return df.sort_values(["query_id", "score", "vec_id"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+
+
+def _q_ann_topk_lsh(sf_dir: str):
+    _cfg()
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from csvweb_ray.ops.similarity import ann_topk_lsh
+    from csvweb_ray.queries import T
+
+    emb_file = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+    first = emb_file.slice(0, 4).to_pylist()
+    queries = np.asarray([r["embedding"] for r in sorted(first, key=lambda r: r["vec_id"])])
+    out = ann_topk_lsh(T(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+                       queries, k=10, num_planes=6)
+    df = out.to_pandas()[["query_id", "vec_id", "score"]]
+    df["score"] = df["score"].round(3)
+    return df.sort_values(["query_id", "score", "vec_id"],
+                          ascending=[True, False, True]).reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from csvweb_ray import queries as Q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(sf_dir: str):
+            _cfg()
+            return fn(sf_dir)
+        return run
+
+    return {
+        # relational / dataflow operators (SURVEY §2.7 analogues)
+        "filter_scan": wrap(Q.q_filter_scan),
+        "groupby_agg": wrap(Q.q_groupby_agg),
+        "broadcast_join": wrap(Q.q_broadcast_join),
+        "hash_join": wrap(Q.q_hash_join),
+        "dedup_first": wrap(Q.q_dedup_first),
+        "sort_topk": wrap(Q.q_sort_topk),
+        "window_tumbling": wrap(Q.q_window_tumbling),
+        "asof_join": wrap(Q.q_asof_join),
+        # flagship CSVW KG pipeline
+        "kg_golden": _q_kg_golden,
+        "kg_docs": _q_kg_docs,
+        # invariants + training-data ops
+        "doc_sha256": _q_doc_sha256,
+        "exact_dedup": _q_exact_dedup,
+        "token_count": _q_token_count,
+        "text_stats": _q_text_stats,
+        "quality_score": _q_quality,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
+        "ann_topk": _q_ann_topk,
+        "ann_topk_lsh": _q_ann_topk_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "filter_scan": """
+            SELECT event_id, user_id, value FROM events
+            WHERE event_type = 'click' AND value >= 50.0
+            ORDER BY event_id""",
+        "groupby_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   count(*) AS count_order,
+                   round(sum(l_quantity) / count(*), 4) AS avg_qty
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""",
+        "broadcast_join": """
+            SELECT c_mktsegment, round(sum(o_totalprice), 4) AS segment_revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+        "hash_join": """
+            SELECT o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        "dedup_first": """
+            SELECT user_id, event_type, event_id, ts FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) AS rn
+                FROM events) WHERE rn = 1
+            ORDER BY user_id, event_type""",
+        "sort_topk": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+            LIMIT 100""",
+        "window_tumbling": """
+            SELECT user_id, date_trunc('hour', ts) AS window_start,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY user_id, date_trunc('hour', ts)
+            ORDER BY user_id, window_start""",
+        "asof_join": """
+            SELECT e.event_id, max(o.o_orderdate) AS last_order_date
+            FROM events e LEFT JOIN orders o
+              ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            GROUP BY e.event_id ORDER BY e.event_id""",
+        "doc_sha256": """
+            SELECT doc_id, sha256(text) AS content_sha256 FROM documents
+            ORDER BY doc_id""",
+        "exact_dedup": """
+            SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+            FROM documents GROUP BY text ORDER BY keep_id""",
+        "token_count": """
+            SELECT lang,
+                   sum(length(list_filter(regexp_split_to_array(text, '\\s+'),
+                                          x -> x <> ''))) AS total_ws_tokens,
+                   count(*) AS n_docs
+            FROM documents GROUP BY lang ORDER BY lang""",
+        "text_stats": """
+            SELECT doc_id, length(text) AS n_chars_calc,
+                   length(regexp_replace(text, '[^.!?]', '', 'g')) AS n_sentences
+            FROM documents ORDER BY doc_id""",
+        "embedding_neardup": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+            ORDER BY a, b""",
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id < 4),
+                 scored AS (
+                   SELECT q.query_id, e.vec_id,
+                          list_cosine_similarity(q.qe, e.embedding) AS raw_score,
+                          row_number() OVER (
+                              PARTITION BY q.query_id
+                              ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                                       e.vec_id) AS rn
+                   FROM q CROSS JOIN embeddings e)
+            SELECT query_id, vec_id, round(raw_score, 3) AS score
+            FROM scored WHERE rn <= 10
+            ORDER BY query_id, score DESC, vec_id""",
+    }

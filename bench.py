@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Benchmark driver.
+
+Default: one JSON line with the headline metric (flagship CSVW KG
+pipeline wall seconds over a deterministic synthetic corpus) plus
+per-query timings over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+``--scaling``: runs the headline pipeline twice in fresh processes at
+``num_cpus`` 8 and 32 on the SAME cached corpus and reports both
+throughputs plus scaling efficiency ``(t8/t32)/4`` (the sandbox stand-in
+for the N vs 4N node criterion; see BASELINE.md).
+
+Owns its Ray session (the only scripts allowed to: bench, CLI, tests).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# headline corpus knobs (deterministic; cached across runs/processes)
+N_FILES = int(os.environ.get("BENCH_N_FILES", "1500"))
+ROWS_PER_FILE = int(os.environ.get("BENCH_ROWS_PER_FILE", "300"))
+CORPUS_CACHE = f"/tmp/csvweb_bench_corpus_{N_FILES}x{ROWS_PER_FILE}.parquet"
+
+#: queries() entries timed per bench run (a cross-section: scan, shuffle
+#: aggregation, joins, dedup family, text ops, similarity)
+BENCH_QUERIES = [
+    "filter_scan", "groupby_agg", "broadcast_join", "hash_join",
+    "dedup_first", "sort_topk", "window_tumbling", "asof_join",
+    "exact_dedup", "token_count", "minhash_pairs", "ann_topk",
+]
+
+
+def ensure_corpus() -> str:
+    if os.path.exists(CORPUS_CACHE):
+        return CORPUS_CACHE
+    from csvweb_ray.corpus import synth_corpus_rows, write_corpus
+
+    rows = synth_corpus_rows(n_files=N_FILES, rows_per_file=ROWS_PER_FILE, seed=42)
+    tmp = CORPUS_CACHE + ".tmp"
+    write_corpus(rows, tmp)
+    os.replace(tmp, CORPUS_CACHE)
+    return CORPUS_CACHE
+
+
+def run_headline() -> dict:
+    """Flagship pipeline wall time + triples/sec on the synthetic corpus."""
+    from csvweb_ray.pipeline.runner import run_kg_pipeline
+
+    corpus = ensure_corpus()
+    out_dir = f"/tmp/csvweb_bench_out_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    # warm page cache so we measure compute+shuffle, not first disk read
+    with open(corpus, "rb") as fh:
+        while fh.read(1 << 24):
+            pass
+    t0 = time.perf_counter()
+    report = run_kg_pipeline(corpus, out_dir, num_shards=max(8, NUM_CPUS),
+                             resume=False)
+    wall = time.perf_counter() - t0
+    triples = report["total_triples_pre_dedup"]
+    return {"sec": wall, "triples": triples,
+            "triples_per_sec": triples / wall if wall else 0.0}
+
+
+def run_queries() -> dict:
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        res = fn(SF_DIR)
+        # force execution for lazy Datasets
+        if hasattr(res, "to_pandas"):
+            try:
+                res = res.to_pandas()
+            except Exception:
+                pass
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from csvweb_ray.raycfg import configure
+
+    configure(NUM_CPUS)
+    headline = run_headline()
+    queries = run_queries() if os.environ.get("BENCH_SKIP_QUERIES") != "1" else {}
+    ray.shutdown()
+    print(json.dumps({
+        "metric": "kg_pipeline_sec",
+        "value": round(headline["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "num_cpus": NUM_CPUS,
+        "corpus_files": N_FILES,
+        "corpus_rows": N_FILES * ROWS_PER_FILE,
+        "triples": headline["triples"],
+        "triples_per_sec": round(headline["triples_per_sec"], 1),
+    }))
+
+
+def scaling() -> None:
+    ensure_corpus()
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1")
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    result = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        f"sec_{lo}": r_lo["value"], f"sec_{hi}": r_hi["value"],
+        f"triples_per_sec_{lo}": r_lo["triples_per_sec"],
+        f"triples_per_sec_{hi}": r_hi["triples_per_sec"],
+        "triples": r_hi["triples"],
+        "corpus_rows": r_hi["corpus_rows"],
+    }
+    print(json.dumps(result))
+    _record(result)
+
+
+def _record(result: dict) -> None:
+    """Append the scaling evidence to BASELINE.md (criterion ≥ 0.8)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+    stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+    lines = [
+        "", f"## Bench result ({stamp})", "",
+        "| metric | value |", "|---|---|",
+    ] + [f"| {k} | {v} |" for k, v in result.items() if k != "metric"] + [
+        "",
+        f"Protocol: same corpus ({result['corpus_rows']} CSV rows), same DAG, "
+        "fresh `ray.init(num_cpus=8)` vs `num_cpus=32` processes; "
+        "efficiency = (t8/t32)/4.",
+    ]
+    with open(path, "a", encoding="utf-8") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

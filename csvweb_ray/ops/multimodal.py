@@ -1,0 +1,128 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The decode kernels themselves are STUBS — the image/audio libraries are
+not in this container — but everything Ray-side is real and tested:
+schema contracts, actor-pool signatures, batch sizing for large binary
+payloads, and the output layout.  Swap ``_decode_*_stub`` for a real
+decoder (PIL / torchaudio / pyav) without touching the pipeline shape.
+
+Batch-size guidance baked in: binary payloads are MB-scale, so these
+stages default to small ``batch_size`` (64) and ``batch_format="pyarrow"``
+(binary columns do not survive pandas round-trips unscathed).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["ImageDecoder", "decode_images", "AudioFeaturizer",
+           "extract_audio_features", "sample_video_frames", "MEDIA_SCHEMA"]
+
+#: Input contract for a multimodal corpus table.
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("kind", pa.string()),            # image | audio | video
+    ("payload", pa.binary()),         # opaque encoded bytes
+    ("mime", pa.string()),
+    ("meta", pa.string()),            # JSON sidecar (dims, duration, …)
+])
+
+
+def _fake_pixels(payload: bytes, h: int, w: int) -> np.ndarray:
+    """Deterministic fake decode: payload hash seeds a pixel grid.  Stands
+    in for a real decoder so the distributed plumbing is exercisable."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:4], "little")
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+class ImageDecoder:
+    """Actor-pool stage: decode + resize → fixed-shape uint8 tensor column.
+
+    ``strict=True`` raises ``NotImplementedError`` (no image library in
+    this environment); ``strict=False`` produces the deterministic fake so
+    tests can drive the full pipeline shape.
+    """
+
+    def __init__(self, height: int = 32, width: int = 32, strict: bool = False):
+        # real impl: import PIL here, once per actor
+        self.h, self.w, self.strict = height, width, strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError(
+                "image decoding requires PIL/opencv, not present in this "
+                "container; run with strict=False for the deterministic stub")
+        tensors = []
+        for payload in batch["payload"].to_pylist():
+            px = _fake_pixels(payload or b"", self.h, self.w)
+            tensors.append(px.reshape(-1).tolist())
+        col = pa.array(tensors, type=pa.list_(pa.uint8(), self.h * self.w * 3))
+        return (batch.drop_columns(["payload"])
+                .append_column("pixels", col))
+
+
+def decode_images(ds, height: int = 32, width: int = 32, concurrency: int = 2,
+                  batch_size: int = 64):
+    """Small batches on purpose: batch_size × payload size × concurrency
+    must fit the worker heap (SURVEY "memory-aware")."""
+    return ds.map_batches(
+        ImageDecoder, fn_constructor_kwargs={"height": height, "width": width},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+
+
+class AudioFeaturizer:
+    """Actor-pool stage: waveform → fixed-size feature vector (stubbed as
+    hash-seeded bands; real impl would compute e.g. log-mel energies)."""
+
+    def __init__(self, n_bands: int = 16, strict: bool = False):
+        self.n_bands, self.strict = n_bands, strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError("audio decode requires torchaudio/librosa")
+        feats = []
+        for payload in batch["payload"].to_pylist():
+            seed = int.from_bytes(hashlib.sha256(payload or b"").digest()[:4], "little")
+            rng = np.random.RandomState(seed)
+            feats.append(rng.standard_normal(self.n_bands).tolist())
+        col = pa.array(feats, type=pa.list_(pa.float64(), self.n_bands))
+        return batch.drop_columns(["payload"]).append_column("features", col)
+
+
+def extract_audio_features(ds, n_bands: int = 16, concurrency: int = 2,
+                           batch_size: int = 64):
+    return ds.map_batches(
+        AudioFeaturizer, fn_constructor_kwargs={"n_bands": n_bands},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+
+
+def sample_video_frames(ds, every_nth: int = 10, concurrency: int = 2,
+                        batch_size: int = 16):
+    """Frame sampling: one input row → N frame rows (flat-map shape via
+    map_batches).  Frame extraction itself is the stub; the row explosion,
+    lineage columns and fixed-shape output are real."""
+
+    def _sample(batch: pa.Table) -> pa.Table:
+        out = {"media_id": [], "frame_no": [], "pixels": []}
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            n_frames = (len(payload or b"") % 50) + 1  # stub: payload-derived
+            for f in range(0, n_frames, every_nth):
+                out["media_id"].append(mid)
+                out["frame_no"].append(f)
+                out["pixels"].append(
+                    _fake_pixels((payload or b"") + f.to_bytes(4, "little"),
+                                 8, 8).reshape(-1).tolist())
+        return pa.Table.from_pydict({
+            "media_id": pa.array(out["media_id"], type=pa.int64()),
+            "frame_no": pa.array(out["frame_no"], type=pa.int32()),
+            "pixels": pa.array(out["pixels"], type=pa.list_(pa.uint8(), 192)),
+        })
+
+    return ds.map_batches(_sample, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)

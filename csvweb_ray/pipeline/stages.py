@@ -1,0 +1,455 @@
+"""Dataset stage functions for the CSVW knowledge-graph pipeline.
+
+Every stage is expressed as a Ray Data transform over Arrow batches
+(``batch_format="pyarrow"`` unless pandas semantics are needed); nothing
+here materializes the dataset.  Cross-references to the reference
+implementation (``/root/reference/src/DataDock.CsvWeb``) are cited per
+stage so semantics parity can be audited.
+
+Scale notes (the design constraints these stages were written against):
+
+- one corpus row = one whole file, so a file never splits across UDF
+  calls and per-file row numbering needs no cross-block state
+  (SURVEY.md §7 "per-file ordering");
+- the pairing shuffle key is ``(repo, dir [, salt])``, never bare
+  ``repo`` — a giant monorepo spreads across the cluster by directory,
+  and a monster directory can additionally be salted
+  (``pairing_salt > 1`` replicates the small JSON side into each salt
+  bucket, the classic skew-join treatment);
+- ``content`` is dropped as soon as each stage is done with it; triples
+  rows carry only lineage scalars.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import posixpath
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..corpus import REPO_BASE
+from ..convert.converter import MODE_MINIMAL, MODE_STANDARD, convert_file
+from ..metadata.model import CompiledTable, CompiledTableGroup, MetadataParseError
+from ..metadata.normalizer import lenient_json_loads
+from ..metadata.parser import parse_metadata
+from ..rdf.ntriples import render_triple
+
+__all__ = [
+    "TRIPLE_COLUMNS", "scan_corpus", "filter_candidates", "add_sha256",
+    "pair_files", "convert_batches", "dedup_triples", "render_ntriples_column",
+]
+
+#: Output schema of the convert stage (FIXTURES.md §2 + lineage).
+TRIPLE_COLUMNS = [
+    "subj_kind", "subj", "pred", "obj_kind", "obj_value", "obj_datatype",
+    "obj_lang", "repo", "path", "commit", "content_sha256",
+]
+
+_TRIPLE_SCHEMA = pa.schema(
+    [(c, pa.string()) for c in TRIPLE_COLUMNS])
+
+_FILEMETA_SCHEMA = pa.schema([
+    ("repo", pa.string()), ("path", pa.string()), ("commit", pa.string()),
+    ("content_sha256", pa.string()), ("metadata_path", pa.string()),
+    ("rows", pa.int64()), ("n_triples", pa.int64()), ("n_errors", pa.int64()),
+    ("errors", pa.string()), ("triples_hash", pa.string()),
+])
+
+
+def _triple_digest(s, p, o) -> int:
+    key = "\x1f".join((
+        s[0], s[1], p, o[0], o[1],
+        (o[2] or "") if o[0] == "l" else "",
+        (o[3] or "") if o[0] == "l" else ""))
+    return int(hashlib.sha256(key.encode()).hexdigest()[:16], 16)
+
+
+def scan_corpus(source, columns=None):
+    """Corpus source → Dataset.  ``source`` may be a parquet path/dir, a
+    ``pyarrow.Table``, or an existing Dataset (reference analogue: the
+    ``ITableResolver`` fetch, ``DefaultResolver.cs:12-40`` — here the
+    corpus already sits in Parquet, so the resolver is the read)."""
+    import ray.data as rd
+    from ray.data import Dataset
+
+    if isinstance(source, Dataset):
+        return source
+    if isinstance(source, pa.Table):
+        return rd.from_arrow(source)
+    return rd.read_parquet(source, columns=columns)
+
+
+def filter_candidates(ds):
+    """G1: keep only CSVW-relevant files.  Vectorized Arrow predicate
+    (``pc.ends_with``) inside ``map_batches`` — cheaper than per-row
+    ``ds.filter`` (reference analogue: MIME dispatch,
+    ``Rdf/Converter.cs:95-112``)."""
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        path = batch["path"]
+        mask = pc.or_(pc.ends_with(path, pattern=".csv"),
+                      pc.ends_with(path, pattern=".json"))
+        mask = pc.and_(mask, pc.is_in(batch["lang"],
+                                      value_set=pa.array(["csv", "json"])))
+        return batch.filter(mask)
+
+    return ds.map_batches(_keep, batch_format="pyarrow")
+
+
+def add_sha256(ds, column: str = "content", out: str = "content_sha256"):
+    """G2: per-row content fingerprint, the invariant carried through every
+    stage (BASELINE.json input_hint).  hashlib releases the GIL and runs at
+    C speed; the loop is over file-sized strings, not cells."""
+
+    def _sha(batch: pa.Table) -> pa.Table:
+        vals = batch[column]
+        out_col = pa.array(
+            [hashlib.sha256(v.encode("utf-8")).hexdigest() if v is not None else None
+             for v in vals.to_pylist()], type=pa.string())
+        return batch.append_column(out, out_col)
+
+    return ds.map_batches(_sha, batch_format="pyarrow")
+
+
+def _dirname(path: str) -> str:
+    d = posixpath.dirname(path)
+    return d
+
+
+def pair_files(ds, pairing_salt: int = 1):
+    """G3: CSV ↔ metadata pairing as a grouped join on ``(repo, dir)``.
+
+    Emulates the reference's metadata-location precedence
+    (``Rdf/Converter.cs:141-207``) by path convention inside each
+    directory: ``{csv}-metadata.json`` first, then same-dir
+    ``csv-metadata.json`` (the well-known/Link steps are HTTP-only and do
+    not exist in a Parquet corpus).  The *reference check* — discovered
+    metadata must explicitly reference the CSV, else it is ignored with a
+    warning (W3C test117) — happens in the convert stage where the JSON is
+    parsed anyway.
+
+    ``pairing_salt > 1``: every JSON row is replicated into each of the
+    ``salt`` buckets and CSV rows hash into one bucket, so one directory
+    with millions of CSVs spreads over ``salt`` groups (G8).  The JSON
+    side of a directory is assumed small (metadata documents), which is
+    what makes the replicate-the-small-side trick cheap.
+    """
+    import pandas as pd
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        paths = batch["path"].to_pylist()
+        dirs = [_dirname(p) for p in paths]
+        is_json = [p.endswith(".json") for p in paths]
+        out = batch.append_column("dir", pa.array(dirs, type=pa.string()))
+        if pairing_salt <= 1:
+            return out.append_column("salt", pa.array([0] * len(paths), type=pa.int32()))
+        # replicate JSON rows into every salt bucket; hash CSVs into one
+        tables = []
+        for s in range(pairing_salt):
+            mask = [j or (int(hashlib.md5(p.encode()).hexdigest(), 16) % pairing_salt) == s
+                    for p, j in zip(paths, is_json)]
+            sub = out.filter(pa.array(mask))
+            tables.append(sub.append_column(
+                "salt", pa.array([s] * sub.num_rows, type=pa.int32())))
+        return pa.concat_tables(tables)
+
+    def _pair(group: pd.DataFrame) -> pd.DataFrame:
+        rows = {"repo": [], "dir": [], "csv_path": [], "commit": [],
+                "content_sha256": [], "csv_text": [], "candidates": [],
+                "json_files": []}
+        jsons = {r.path: r.content for r in group.itertuples() if r.path.endswith(".json")}
+        json_blob = json.dumps(jsons)
+        for r in group.itertuples():
+            if not r.path.endswith(".csv"):
+                continue
+            cands = []
+            for cand in (r.path + "-metadata.json",
+                         posixpath.join(_dirname(r.path), "csv-metadata.json")
+                         if _dirname(r.path) else "csv-metadata.json"):
+                if cand in jsons:
+                    cands.append(cand)
+            rows["repo"].append(r.repo)
+            rows["dir"].append(r.dir)
+            rows["csv_path"].append(r.path)
+            rows["commit"].append(r.commit)
+            rows["content_sha256"].append(r.content_sha256)
+            rows["csv_text"].append(r.content)
+            rows["candidates"].append(json.dumps(cands))
+            rows["json_files"].append(json_blob)
+        return pd.DataFrame(rows)
+
+    prepped = ds.map_batches(_prep, batch_format="pyarrow")
+    return prepped.groupby(["repo", "dir", "salt"]).map_groups(
+        _pair, batch_format="pandas")
+
+
+def _convert_one(repo: str, csv_path: str, commit: str, sha: str, csv_text: str,
+                 candidates: list[str], json_files: dict, mode: str):
+    """Convert one corpus CSV file → (triples, filemeta).  Pure; called per
+    row inside the convert UDF.  Reference: the whole of
+    ``Rdf/Converter.cs:227-471`` plus the discovery reference-check at
+    ``:141-207``."""
+    repo_root = f"{REPO_BASE}{repo}/"
+    root_url = repo_root + csv_path
+
+    def resolver(uri: str):
+        if not uri.startswith(repo_root):
+            return None
+        rel = uri[len(repo_root):].split("?", 1)[0].split("#", 1)[0]
+        text = json_files.get(rel)
+        return lenient_json_loads(text) if text is not None else None
+
+    errors: list[str] = []
+    group = None
+    meta_path = None
+    for cand in candidates:
+        text = json_files.get(cand)
+        if text is None:
+            continue
+        try:
+            parsed = parse_metadata(text, repo_root + cand, resolver=resolver)
+        except MetadataParseError as ex:
+            errors.append(f"metadata {cand}: {ex}")
+            continue
+        if any(t.url == root_url for t in parsed.tables):
+            group, meta_path = parsed, cand
+            break
+        errors.append(f"metadata {cand} does not reference {csv_path}; ignored")
+    if group is None:
+        # bare table group, header-inferred all-string schema
+        # (``Rdf/Converter.cs:105-107``)
+        group = CompiledTableGroup()
+        table = CompiledTable(url=root_url)
+        table.columns_declared = False
+        group.tables.append(table)
+
+    # each CSV is one conversion root: emit only its own table's triples
+    # (multi-table groups are converted once per member CSV, each member
+    # owning its table — exactly-once without cross-file coordination)
+    for t in group.tables:
+        if t.url != root_url:
+            t.suppress_output = True
+
+    seed = f"{repo}|{commit}|{meta_path or ''}|{csv_path}"
+
+    def csv_texts(url: str):
+        return csv_text if url == root_url else None
+
+    try:
+        result = convert_file(group, csv_texts, mode=mode,
+                              suppress_string_datatype=True, bnode_seed=seed)
+        triples = result.triples
+        errors.extend(result.errors)
+        rows = result.rows
+    except Exception as ex:  # noqa: BLE001 - error side-channel (M15)
+        triples, rows = [], 0
+        errors.append(f"{type(ex).__name__}: {ex}")
+    return triples, meta_path, rows, errors
+
+
+def convert_batches(ds, mode: str = MODE_MINIMAL, errors_out: str | None = None):
+    """The central conversion UDF (C1-C14, U1-U4, D1-D8, J1-J4): stateless
+    ``map_batches`` task, whole files in, triple rows out.
+
+    Returns a dataset with marker column ``rkind``: ``"t"`` = triple row,
+    ``"f"`` = per-file metrics row (rows/errors/metadata path) — the error
+    side channel of M15.  Split downstream with ``split_convert_output``.
+    """
+    assert mode in (MODE_MINIMAL, MODE_STANDARD)
+
+    def _convert(batch: pa.Table) -> pa.Table:
+        t_cols = {c: [] for c in TRIPLE_COLUMNS}
+        f_cols = {c: [] for c in
+                  ("repo", "path", "commit", "content_sha256", "metadata_path",
+                   "rows", "n_triples", "n_errors", "errors", "triples_hash")}
+        data = batch.to_pylist()
+        for row in data:
+            triples, meta_path, nrows, errs = _convert_one(
+                row["repo"], row["csv_path"], row["commit"],
+                row["content_sha256"], row["csv_text"],
+                json.loads(row["candidates"]), json.loads(row["json_files"]),
+                mode)
+            thash = 0
+            for (s, p, o) in triples:
+                thash ^= _triple_digest(s, p, o)
+                t_cols["subj_kind"].append(s[0])
+                t_cols["subj"].append(s[1])
+                t_cols["pred"].append(p)
+                t_cols["obj_kind"].append(o[0])
+                t_cols["obj_value"].append(o[1])
+                t_cols["obj_datatype"].append(o[2] if o[0] == "l" else None)
+                t_cols["obj_lang"].append(o[3] if o[0] == "l" else None)
+                t_cols["repo"].append(row["repo"])
+                t_cols["path"].append(row["csv_path"])
+                t_cols["commit"].append(row["commit"])
+                t_cols["content_sha256"].append(row["content_sha256"])
+            f_cols["repo"].append(row["repo"])
+            f_cols["path"].append(row["csv_path"])
+            f_cols["commit"].append(row["commit"])
+            f_cols["content_sha256"].append(row["content_sha256"])
+            f_cols["metadata_path"].append(meta_path)
+            f_cols["rows"].append(nrows)
+            f_cols["n_triples"].append(len(triples))
+            f_cols["n_errors"].append(len(errs))
+            f_cols["errors"].append(json.dumps(errs) if errs else None)
+            f_cols["triples_hash"].append(f"{thash:016x}")
+
+        triples_tbl = pa.Table.from_pydict(t_cols, schema=_TRIPLE_SCHEMA)
+        meta_tbl = pa.Table.from_pydict(f_cols, schema=_FILEMETA_SCHEMA)
+        # align into one table with the marker column
+        n_t, n_f = triples_tbl.num_rows, meta_tbl.num_rows
+        merged = {"rkind": pa.array(["t"] * n_t + ["f"] * n_f, type=pa.string())}
+        for name in _TRIPLE_SCHEMA.names:
+            left = triples_tbl[name].combine_chunks()
+            if name in meta_tbl.column_names:
+                right = meta_tbl[name].combine_chunks()
+            else:
+                right = pa.nulls(n_f, type=pa.string())
+            merged[name] = pa.concat_arrays([left.cast(pa.string()),
+                                             right.cast(pa.string())])
+        for name in ("metadata_path", "errors", "triples_hash"):
+            merged[name] = pa.concat_arrays([
+                pa.nulls(n_t, type=pa.string()),
+                meta_tbl[name].combine_chunks()])
+        for name in ("rows", "n_triples", "n_errors"):
+            merged[name] = pa.concat_arrays([
+                pa.nulls(n_t, type=pa.int64()),
+                meta_tbl[name].combine_chunks()])
+        return pa.Table.from_pydict(merged)
+
+    return ds.map_batches(_convert, batch_format="pyarrow")
+
+
+def split_convert_output(ds):
+    """(triples_ds, filemeta_ds) from the marked convert output."""
+
+    def _only(kind, cols):
+        def fn(batch: pa.Table) -> pa.Table:
+            sub = batch.filter(pc.equal(batch["rkind"], kind))
+            return sub.select(cols)
+        return fn
+
+    triples = ds.map_batches(_only("t", TRIPLE_COLUMNS), batch_format="pyarrow")
+    filemeta = ds.map_batches(
+        _only("f", ["repo", "path", "commit", "content_sha256", "metadata_path",
+                    "rows", "n_triples", "n_errors", "errors", "triples_hash"]),
+        batch_format="pyarrow")
+    return triples, filemeta
+
+
+def triple_key_column(batch: pa.Table) -> pa.Table:
+    """Content hash of the (s,p,o) term triple — the dedup / lineage key
+    (G6; SURVEY.md §7: dedup key = sha256 of the six term fields)."""
+    import numpy as np
+
+    cols = [batch[c].to_pylist() for c in
+            ("subj_kind", "subj", "pred", "obj_kind", "obj_value",
+             "obj_datatype", "obj_lang")]
+    keys = np.array([
+        hashlib.sha256("\x1f".join("" if v is None else v for v in vals).encode())
+        .hexdigest() for vals in zip(*cols)], dtype=object)
+    return batch.append_column("tkey", pa.array(keys, type=pa.string()))
+
+
+_PACK_SEP = "\x1e"
+_FIELD_SEP = "\x1f"
+_NULL_MARK = "\x00"
+
+
+def dedup_triples(ds):
+    """G6: RDF set semantics (dotNetRDF ``Graph`` deduplicates on insert).
+
+    Two-phase: vectorized per-batch ``drop_duplicates`` (the combiner —
+    kills intra-file dupes before the exchange), then ONE native
+    ``groupby(tkey).aggregate(Min(packed_row))`` where the whole row is
+    packed into a single string with a ``repo|path`` lineage prefix so the
+    Min picks the lexicographically-first lineage deterministically.
+
+    Why not ``map_groups(head(1))``: that calls a Python UDF once per
+    group — per-group overhead × (one group per distinct triple) is the
+    whole corpus; the native aggregate stays vectorized per block."""
+    from ray.data.aggregate import Min
+
+    def _pack(batch: pa.Table) -> pa.Table:
+        batch = triple_key_column(batch)
+        df = batch.to_pandas()
+        df = df.sort_values(["tkey", "repo", "path"]).drop_duplicates("tkey")
+        arrs = [df[c].tolist() for c in TRIPLE_COLUMNS]
+        packed = [
+            f"{r}|{p}{_PACK_SEP}"
+            + _FIELD_SEP.join(_NULL_MARK if v is None else v for v in row)
+            for r, p, row in zip(df["repo"], df["path"], zip(*arrs))]
+        return pa.table({"tkey": pa.array(df["tkey"].tolist(), type=pa.string()),
+                         "packed": pa.array(packed, type=pa.string())})
+
+    def _unpack(batch: pa.Table) -> pa.Table:
+        out = {c: [] for c in TRIPLE_COLUMNS}
+        out["tkey"] = []
+        for tkey, packed in zip(batch["tkey"].to_pylist(),
+                                batch["packed"].to_pylist()):
+            body = packed.split(_PACK_SEP, 1)[1]
+            vals = body.split(_FIELD_SEP)
+            for c, v in zip(TRIPLE_COLUMNS, vals):
+                out[c].append(None if v == _NULL_MARK else v)
+            out["tkey"].append(tkey)
+        return pa.Table.from_pydict(
+            {c: pa.array(out[c], type=pa.string())
+             for c in TRIPLE_COLUMNS + ["tkey"]})
+
+    packed = ds.map_batches(_pack, batch_format="pyarrow")
+    agg = packed.groupby("tkey").aggregate(Min("packed", alias_name="packed"))
+    return agg.map_batches(_unpack, batch_format="pyarrow")
+
+
+def canonicalize_triple_schema(ds):
+    """Cast every triple column to its declared string type.  Pandas
+    round-trips (map_groups) infer all-null columns as null-typed, which
+    breaks downstream concat/write schema unification."""
+
+    def _cast(batch: pa.Table) -> pa.Table:
+        arrays, names = [], []
+        for name in batch.column_names:
+            col = batch[name].combine_chunks()
+            if name in TRIPLE_COLUMNS:
+                col = pa.nulls(len(batch), type=pa.string()) \
+                    if pa.types.is_null(col.type) else col.cast(pa.string())
+            arrays.append(col)
+            names.append(name)
+        return pa.table(dict(zip(names, arrays)))
+
+    return ds.map_batches(_cast, batch_format="pyarrow")
+
+
+def render_ntriples_column(ds, out: str = "nt"):
+    """Final projection: one N-Triples line per triple row (sink analogue
+    of ``IRdfHandler`` → writer, S6)."""
+
+    def _render(batch: pa.Table) -> pa.Table:
+        rows = batch.select(["subj_kind", "subj", "pred", "obj_kind",
+                             "obj_value", "obj_datatype", "obj_lang"]).to_pylist()
+        lines = []
+        for r in rows:
+            s = (r["subj_kind"], r["subj"])
+            if r["obj_kind"] == "l":
+                o = ("l", r["obj_value"], r["obj_datatype"], r["obj_lang"])
+            else:
+                o = (r["obj_kind"], r["obj_value"])
+            lines.append(render_triple((s, r["pred"], o)))
+        return batch.append_column(out, pa.array(lines, type=pa.string()))
+
+    return ds.map_batches(_render, batch_format="pyarrow")
+
+
+def triples_to_terms(rows: list[dict]) -> list:
+    """Triple rows (dicts) → term-tuple triples, for isomorphism tests."""
+    out = []
+    for r in rows:
+        s = (r["subj_kind"], r["subj"])
+        if r["obj_kind"] == "l":
+            o = ("l", r["obj_value"], r["obj_datatype"], r["obj_lang"])
+        else:
+            o = (r["obj_kind"], r["obj_value"])
+        out.append((s, r["pred"], o))
+    return out

@@ -1,0 +1,282 @@
+"""Relational / dataflow operator demonstrations over the driver testdata
+tables, exercised against DuckDB oracles (``__ray_entry__``).
+
+Each function takes ``sf_dir`` and returns a small result (pyarrow Table
+or pandas DataFrame) with **named** computed columns matching the oracle
+SQL exactly.  Pipelines stay lazy/streaming until the final small
+collect; shuffles are preceded by per-batch partial aggregation where the
+algebra allows (the combiner pattern).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["T"]
+
+
+def T(sf_dir: str, name: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+                           columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# scans / filters / projection (G1)
+
+def q_filter_scan(sf_dir: str):
+    """Filter + projection with column pruning at the read: click events
+    with value ≥ 50, id/user/value only, sorted for stable compare."""
+    ds = T(sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"])
+
+    def _keep(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(b["event_type"], "click"),
+                    pc.greater_equal(b["value"], 50.0))
+        return b.filter(m).select(["event_id", "user_id", "value"])
+
+    return ds.map_batches(_keep, batch_format="pyarrow").sort("event_id")
+
+
+# ---------------------------------------------------------------------------
+# grouped aggregation with partial pre-aggregation (TPC-H Q1 shape)
+
+def q_groupby_agg(sf_dir: str):
+    """Pricing summary: per-batch partial sums (combiner) → tiny groupby.
+    The shuffle moves one row per (flag,status) per batch, not 600k rows."""
+    ds = T(sf_dir, "lineitem",
+           columns=["l_returnflag", "l_linestatus", "l_quantity",
+                    "l_extendedprice", "l_discount"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["revenue"] = df.l_extendedprice * (1 - df.l_discount)
+        g = (df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+             .agg(sum_qty=("l_quantity", "sum"),
+                  sum_base_price=("l_extendedprice", "sum"),
+                  revenue=("revenue", "sum"),
+                  count_order=("l_quantity", "size")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (ds.map_batches(_partial, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                      Sum("sum_base_price", alias_name="sum_base_price"),
+                      Sum("revenue", alias_name="revenue"),
+                      Sum("count_order", alias_name="count_order")))
+    df = out.to_pandas().sort_values(["l_returnflag", "l_linestatus"])
+    df["avg_qty"] = (df.sum_qty / df.count_order).round(4)
+    for c in ("sum_qty", "sum_base_price", "revenue"):
+        df[c] = df[c].round(4)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# broadcast (small-side) join — no shuffle
+
+def q_broadcast_join(sf_dir: str):
+    """orders ⋈ customer via a broadcast dict of the small side (``ray.put``
+    once, read per task): revenue per market segment."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = T(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(dict(zip(cust.c_custkey, cust.c_mktsegment)))
+
+    ds = T(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def _attach(b: pa.Table) -> pa.Table:
+        seg = ray.get(seg_ref)
+        keys = b["o_custkey"].to_pylist()
+        segs = [seg.get(k) for k in keys]
+        out = b.append_column("c_mktsegment", pa.array(segs, type=pa.string()))
+        return out.filter(pc.is_valid(out["c_mktsegment"]))
+
+    out = (ds.map_batches(_attach, batch_format="pyarrow")
+           .groupby("c_mktsegment")
+           .aggregate(Sum("o_totalprice", alias_name="segment_revenue")))
+    df = out.to_pandas().sort_values("c_mktsegment")
+    df["segment_revenue"] = df["segment_revenue"].round(4)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# partitioned hash join (both sides large): bucket + per-bucket merge
+
+def q_hash_join(sf_dir: str, num_buckets: int = 16):
+    """lineitem ⋈ orders on orderkey as an explicit bucketed hash join:
+    both sides get ``bucket = key % B``, co-grouped per bucket, pandas
+    merge inside ``map_groups`` — the portable large-large join pattern.
+    Result: revenue per order priority."""
+    li = T(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    od = T(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    def _mark(side, key):
+        def fn(b: pa.Table) -> pa.Table:
+            bucket = pc.cast(
+                pc.bit_wise_and(b[key], pa.scalar(num_buckets - 1)), pa.int32())
+            b = b.append_column("bucket", bucket)
+            return b.append_column("side", pa.array([side] * b.num_rows,
+                                                    type=pa.string()))
+        return fn
+
+    left = li.map_batches(_mark("l", "l_orderkey"), batch_format="pyarrow")
+    right = od.map_batches(_mark("r", "o_orderkey"), batch_format="pyarrow")
+    # union then co-group per bucket (one shuffle total)
+    both = left.union(right)
+
+    def _join(g: pd.DataFrame) -> pd.DataFrame:
+        # after union a block's schema may or may not be unified across
+        # sides — reindex pins each side to its own columns either way
+        lt = g[g["side"] == "l"].reindex(
+            columns=["l_orderkey", "l_extendedprice", "l_discount"])
+        rt = g[g["side"] == "r"].reindex(
+            columns=["o_orderkey", "o_orderpriority"])
+        m = lt.merge(rt, left_on="l_orderkey", right_on="o_orderkey")
+        if m.empty:
+            return pd.DataFrame({"o_orderpriority": [], "revenue": []})
+        m["revenue"] = m.l_extendedprice * (1 - m.l_discount)
+        return (m.groupby("o_orderpriority", as_index=False)
+                .agg(revenue=("revenue", "sum")))
+
+    from ray.data.aggregate import Sum
+
+    out = (both.groupby("bucket").map_groups(_join, batch_format="pandas")
+           .groupby("o_orderpriority")
+           .aggregate(Sum("revenue", alias_name="revenue")))
+    df = out.to_pandas().sort_values("o_orderpriority")
+    df["revenue"] = df["revenue"].round(4)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# dedup-first-per-key (G6 analogue on relational data)
+
+def q_dedup_first(sf_dir: str):
+    """First event per (user_id, event_type) by (ts, event_id): per-batch
+    local winner (combiner) → native Min over a sortable packed
+    ``ts|event_id`` string (one Python UDF call per *block*, not per key —
+    per-key ``map_groups`` would pay one pandas call per distinct key)."""
+    from ray.data.aggregate import Min
+
+    ds = T(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def _local(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(["user_id", "event_type", "ts", "event_id"])
+        df = df.drop_duplicates(["user_id", "event_type"])
+        # ISO timestamps sort lexicographically; zero-pad the id tiebreak
+        df["packed"] = (df["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+                        + "|" + df["event_id"].map("{:020d}".format))
+        return pa.Table.from_pandas(
+            df[["user_id", "event_type", "packed"]], preserve_index=False)
+
+    out = (ds.map_batches(_local, batch_format="pyarrow")
+           .groupby(["user_id", "event_type"])
+           .aggregate(Min("packed", alias_name="packed")))
+
+    df = out.to_pandas().sort_values(["user_id", "event_type"])
+    df["ts"] = pd.to_datetime(df["packed"].str.split("|").str[0])
+    df["event_id"] = df["packed"].str.split("|").str[1].astype("int64")
+    return pa.Table.from_pandas(
+        df[["user_id", "event_type", "event_id", "ts"]], preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# global sort + top-k (G7 analogue)
+
+def q_sort_topk(sf_dir: str, k: int = 100):
+    """Top-k by price with deterministic tie-breaks; per-batch partial
+    top-k before the final merge so the sort sees k×blocks rows."""
+    ds = T(sf_dir, "lineitem",
+           columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(
+            ["l_extendedprice", "l_orderkey", "l_linenumber"],
+            ascending=[False, True, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    df = (ds.map_batches(_partial, batch_format="pyarrow")
+          .to_pandas()
+          .sort_values(["l_extendedprice", "l_orderkey", "l_linenumber"],
+                       ascending=[False, True, True]).head(k))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# windowed aggregate (streaming-shaped; guide §Streaming)
+
+def q_window_tumbling(sf_dir: str):
+    """Per-user hourly tumbling windows: the window key is computed
+    vectorized per batch; the groupby is the only shuffle.  Ordering
+    assumption: none needed (counts/sums are order-free)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = T(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def _window(b: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(b["ts"], unit="hour")
+        return b.append_column("window_start", w)
+
+    out = (ds.map_batches(_window, batch_format="pyarrow")
+           .groupby(["user_id", "window_start"])
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("value", alias_name="sum_value")))
+    df = out.to_pandas().sort_values(["user_id", "window_start"])
+    df["sum_value"] = df["sum_value"].round(4)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# as-of join (bucketed merge_asof; guide §Joins)
+
+def q_asof_join(sf_dir: str):
+    """Each event joined to the most recent prior order of the same
+    user/customer: bucket by key, sort within bucket, ``pd.merge_asof``
+    per bucket.  Partitioning assumption: key co-location per bucket."""
+    ev = T(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    od = T(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def _mark(side):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.append_column("side", pa.array([side] * b.num_rows,
+                                                    type=pa.string()))
+        return fn
+
+    left = ev.map_batches(_mark("e"), batch_format="pyarrow")
+    right = od.map_batches(_mark("o"), batch_format="pyarrow")
+
+    def _key(b: pa.Table) -> pa.Table:
+        key = b["user_id"] if "user_id" in b.column_names else b["o_custkey"]
+        return b.append_column("k", pc.cast(key, pa.int64()))
+
+    both = (left.map_batches(_key, batch_format="pyarrow")
+            .union(right.map_batches(_key, batch_format="pyarrow")))
+
+    def _asof(g: pd.DataFrame) -> pd.DataFrame:
+        ev_g = g[g["side"] == "e"].reindex(
+            columns=["event_id", "k", "ts"]).sort_values("ts")
+        od_g = g[g["side"] == "o"].reindex(
+            columns=["k", "o_orderdate"]).sort_values("o_orderdate")
+        if ev_g.empty:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "last_order_date": pd.Series([], dtype="datetime64[us]")})
+        if od_g.empty:
+            m = ev_g.copy()
+            m["last_order_date"] = pd.NaT
+            return m[["event_id", "last_order_date"]]
+        m = pd.merge_asof(ev_g, od_g, left_on="ts", right_on="o_orderdate",
+                          direction="backward")
+        m = m.rename(columns={"o_orderdate": "last_order_date"})
+        return m[["event_id", "last_order_date"]]
+
+    out = both.groupby("k").map_groups(_asof, batch_format="pandas")
+    df = out.to_pandas().sort_values("event_id")
+    return pa.Table.from_pandas(df, preserve_index=False)

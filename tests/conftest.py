@@ -24,6 +24,9 @@ def ray_session():
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=4, include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
+    from csvweb_ray.raycfg import configure
+
+    configure(4)
     yield ray
     ray.shutdown()
 
