@@ -81,7 +81,7 @@ def quality_score(ds, col: str = "text"):
             + ((mean_wlen >= 3) & (mean_wlen <= 10)).astype(float) * 0.3
             + stop_ratio.clip(0, 0.4) / 0.4 * 0.2
             + (1 - digit_ratio.clip(0, 0.5) * 2) * 0.1
-            + (n_sentences.clip(0, 10) / 10) * 0.1)
+            + (n_sentences.clip(0, 10) / 10) * 0.1) * (n_words > 0)
         batch["n_chars_calc"] = n_chars.astype("int64")
         batch["n_words"] = n_words.astype("int64")
         batch["n_sentences"] = n_sentences.astype("int64")

@@ -2,10 +2,16 @@
 
 Layout under ``out_dir``::
 
-    shards/shard=K/*.parquet     converted (pre-dedup) triples + filemeta of shard K
+    shards/wave-*/*.parquet      converted (pre-dedup) triples + per-file
+                                 metrics rows, shard id as a column (a few
+                                 large files per wave — hive-partitioning
+                                 by shard produced write-tasks × shards
+                                 tiny files, which dominated both the
+                                 write and the merge read-back at scale)
     manifest.json                per-shard lineage: input fingerprint, files,
                                  rows, triples, errors, order-insensitive
-                                 triples hash
+                                 triples hash, owning wave; plus wave
+                                 completion records
     final/*.parquet              deduped, sorted, N-Triples-rendered output
 
 Shard assignment is ``crc32(repo|dir) % num_shards`` — pairing only needs
@@ -16,7 +22,9 @@ the directory hash.  A shard whose manifest entry matches the current
 input fingerprint is skipped on re-run; pending shards are processed in
 waves (default: all pending in ONE Dataset execution for maximum
 parallelism; ``shards_per_wave=1`` gives per-shard checkpoint granularity
-at the cost of serializing waves).
+at the cost of serializing waves).  A wave is atomic for resume: killed
+mid-wave → its dir is deleted on the next run and its shards re-run;
+invalidating any shard of a completed wave re-runs that whole wave.
 
 Determinism: conversion bnode labels are content-hashes (see
 ``convert.converter``), dedup keeps the lexicographically-first lineage
@@ -101,6 +109,26 @@ def _input_fingerprint(ds) -> dict[int, str]:
     return {s: f"{counts[s]}:{acc[s]:016x}" for s in acc}
 
 
+def _fingerprint_table(tbl: pa.Table, num_shards: int) -> dict[int, str]:
+    """Same fingerprint as ``_input_fingerprint`` over an in-memory slim
+    table (applies the same CSVW-relevance filter as filter_candidates)."""
+    import hashlib
+    import posixpath
+
+    acc: dict[int, int] = {}
+    counts: dict[int, int] = {}
+    for r, p, h, lang in zip(tbl["repo"].to_pylist(), tbl["path"].to_pylist(),
+                             tbl["commit"].to_pylist(), tbl["lang"].to_pylist()):
+        if not (p.endswith(".csv") or p.endswith(".json")) \
+                or lang not in ("csv", "json"):
+            continue
+        s = shard_of(r, posixpath.dirname(p), num_shards)
+        d = int(hashlib.sha256(f"{r}|{p}|{h}".encode()).hexdigest()[:16], 16)
+        acc[s] = acc.get(s, 0) ^ d
+        counts[s] = counts.get(s, 0) + 1
+    return {s: f"{counts[s]}:{acc[s]:016x}" for s in acc}
+
+
 class PipelineReport(dict):
     """Manifest + headline metrics returned by ``run_kg_pipeline``."""
 
@@ -108,13 +136,25 @@ class PipelineReport(dict):
 def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
                     num_shards: int = 8, shards_per_wave: int | None = None,
                     pairing_salt: int = 1, resume: bool = True,
-                    with_linking: bool = False,
+                    with_linking: bool = False, rebalance: bool = True,
+                    encode_iris: bool = False,
                     sort_output: bool = True) -> PipelineReport:
     """Run the flagship corpus→triples pipeline with checkpoint/resume.
 
     ``source``: parquet path / pyarrow.Table / Dataset of corpus rows.
     Returns the manifest (per-shard lineage + totals).
     """
+    import time
+
+    phases: dict[str, float] = {}
+    t_start = time.perf_counter()
+
+    def _mark(name: str):
+        nonlocal t_start
+        now = time.perf_counter()
+        phases[name] = phases.get(name, 0.0) + now - t_start
+        t_start = now
+
     os.makedirs(out_dir, exist_ok=True)
     shards_dir = os.path.join(out_dir, "shards")
     manifest_path = os.path.join(out_dir, "manifest.json")
@@ -126,53 +166,102 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
     base = _add_shard(base, num_shards)
 
     # resume detection reads only (repo, path, commit, lang) — content is
-    # pruned at the parquet read
-    slim = scan_corpus(source, columns=["repo", "path", "commit", "lang"])
-    fingerprints = _input_fingerprint(_add_shard(filter_candidates(slim), num_shards))
-    pending = [s for s, fp in sorted(fingerprints.items())
-               if manifest["shards"].get(str(s), {}).get("fingerprint") != fp
-               or not os.path.isdir(os.path.join(shards_dir, f"shard={s}"))]
+    # pruned at the parquet read.  For a plain parquet source this is a
+    # driver-side pyarrow read (no Ray execution round-trip: the columns
+    # are a few bytes per file and the hash loop is trivial).
+    if isinstance(source, str):
+        import pyarrow.dataset as pads
+
+        slim_tbl = pads.dataset(source, format="parquet").to_table(
+            columns=["repo", "path", "commit", "lang"])
+        fingerprints = _fingerprint_table(slim_tbl, num_shards)
+    else:
+        slim = scan_corpus(source, columns=["repo", "path", "commit", "lang"])
+        fingerprints = _input_fingerprint(
+            _add_shard(filter_candidates(slim), num_shards))
+    _mark("fingerprint")
+
+    # --- resume bookkeeping over wave directories -----------------------
+    # Shard data lives in per-WAVE directories (shards/<wave_id>/) with
+    # the shard id as a COLUMN, not a hive partition: a wave writes a few
+    # large parquet files instead of (write tasks x shards) tiny ones,
+    # which at 17M triples was the dominant cost of both the write and
+    # the merge's read-back.  The manifest marks a wave complete only
+    # after its stats are recorded; incomplete wave dirs are deleted on
+    # startup (killed-run debris), and invalidating any shard of a
+    # completed wave drops the whole wave (its shards simply re-run).
+    manifest.setdefault("waves", {})
+    for wid in list(manifest["waves"]):
+        if not manifest["waves"][wid].get("complete"):
+            shutil.rmtree(os.path.join(shards_dir, wid), ignore_errors=True)
+            del manifest["waves"][wid]
+    if os.path.isdir(shards_dir):
+        for d in os.listdir(shards_dir):
+            if d not in manifest["waves"]:
+                shutil.rmtree(os.path.join(shards_dir, d), ignore_errors=True)
+
+    invalid = {s for s, fp in fingerprints.items()
+               if manifest["shards"].get(str(s), {}).get("fingerprint") != fp}
+    dropped_waves = [wid for wid, info in manifest["waves"].items()
+                     if any(int(x) in invalid for x in info["shards"])]
+    for wid in dropped_waves:
+        for x in manifest["waves"][wid]["shards"]:
+            manifest["shards"].pop(str(x), None)
+        shutil.rmtree(os.path.join(shards_dir, wid), ignore_errors=True)
+        del manifest["waves"][wid]
+    pending = [s for s in sorted(fingerprints)
+               if str(s) not in manifest["shards"]]
 
     wave_size = shards_per_wave or max(1, len(pending))
     for i in range(0, len(pending), wave_size):
-        wave = pending[i:i + wave_size]
+        wave = wave_list = pending[i:i + wave_size]
         wave_set = set(wave)
-        # clear any partial output of a previously-killed run
-        for s in wave:
-            part = os.path.join(shards_dir, f"shard={s}")
-            if os.path.isdir(part):
-                shutil.rmtree(part)
+        wid = f"wave-{wave[0]:04d}-{len(wave)}"
+        wdir = os.path.join(shards_dir, wid)
+        shutil.rmtree(wdir, ignore_errors=True)
 
         ds = base.map_batches(
             lambda b, ws=tuple(sorted(wave_set)): b.filter(
                 pc.is_in(b["shard"], value_set=pa.array(list(ws), type=pa.int32()))),
             batch_format="pyarrow")
-        paired = pair_files(ds.drop_columns(["shard"]), pairing_salt=pairing_salt)
-        converted = convert_batches(paired, mode=mode)
-        converted = _add_shard(converted, num_shards)
-        converted.write_parquet(shards_dir, partition_cols=["shard"])
+        paired = pair_files(ds, pairing_salt=pairing_salt)
+        if rebalance:
+            # a monorepo directory emerges from the pairing groupby as ONE
+            # block; spread its files across the cluster before the
+            # (CPU-heavy) conversion so one straggler task doesn't
+            # serialize the wave.  With a high pairing_salt the groups are
+            # already small -- callers may skip the extra exchange.
+            import ray as _ray
 
-        # wave complete → record lineage per shard.  Only the per-file
-        # metrics rows (rkind == "f") are read back — a columnar predicate
-        # over a handful of small columns; the per-file triples hash was
-        # computed inside the distributed convert UDF.
+            cpus = int(_ray.cluster_resources().get("CPU", 8)) \
+                if _ray.is_initialized() else 8
+            paired = paired.repartition(4 * cpus)
+        # shard is carried through pairing/convert (constant per (repo,
+        # dir) group) -- no per-triple recomputation
+        converted = convert_batches(paired, mode=mode, encode_iris=encode_iris)
+        converted.write_parquet(wdir, compression="zstd")
+        _mark("convert")
+
+        # wave complete -> record lineage per shard.  Only the per-file
+        # metrics rows (rkind == "f") are read back -- a columnar
+        # predicate over a handful of small columns; the per-file triples
+        # hash was computed inside the distributed convert UDF.
         import pyarrow.dataset as pads
 
-        stats: dict[int, dict] = {}
-        for s in wave:
-            st = {"files": 0, "rows": 0, "triples": 0, "errors": 0, "thash": 0}
-            part = os.path.join(shards_dir, f"shard={s}")
-            dset = pads.dataset(part, format="parquet")
-            tbl = dset.to_table(
-                columns=["rows", "n_triples", "n_errors", "triples_hash"],
-                filter=pads.field("rkind") == "f")
-            for row in tbl.to_pylist():
-                st["files"] += 1
-                st["rows"] += row["rows"] or 0
-                st["errors"] += row["n_errors"] or 0
-                st["triples"] += row["n_triples"] or 0
-                st["thash"] ^= int(row["triples_hash"], 16)
-            stats[s] = st
+        stats: dict[int, dict] = {
+            s: {"files": 0, "rows": 0, "triples": 0, "errors": 0, "thash": 0}
+            for s in wave}
+        dset = pads.dataset(wdir, format="parquet")
+        tbl = dset.to_table(
+            columns=["shard", "rows", "n_triples", "n_errors", "triples_hash"],
+            filter=pads.field("rkind") == "f")
+        for row in tbl.to_pylist():
+            st = stats[int(row["shard"])]
+            st["files"] += 1
+            st["rows"] += row["rows"] or 0
+            st["errors"] += row["n_errors"] or 0
+            st["triples"] += row["n_triples"] or 0
+            st["thash"] ^= int(row["triples_hash"], 16)
         for s in wave:
             st = stats[s]
             manifest["shards"][str(s)] = {
@@ -180,17 +269,19 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
                 "files": st["files"], "rows": st["rows"],
                 "triples": st["triples"], "errors": st["errors"],
                 "triples_hash": f"{st['thash']:016x}",
+                "wave": wid,
             }
+        manifest["waves"][wid] = {"shards": list(wave), "complete": True}
         _save_manifest(manifest_path, manifest)
+        _mark("shard_stats")
 
     # ---- final merge: dedup → (link) → sort → render → write -------------
     import ray.data as rd
 
-    shard_dirs = [os.path.join(shards_dir, d) for d in sorted(os.listdir(shards_dir))
-                  if d.startswith("shard=")] if os.path.isdir(shards_dir) else []
+    wave_dirs = [os.path.join(shards_dir, d) for d in sorted(manifest["waves"])]
     report = PipelineReport(manifest)
     final_dir = os.path.join(out_dir, "final")
-    if not shard_dirs:
+    if not wave_dirs:
         report["total_triples"] = 0
         return report
 
@@ -198,8 +289,9 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
 
     all_out = rd.read_parquet(shards_dir)
     triples, filemeta = split_convert_output(all_out)
-    triples = canonicalize_triple_schema(
-        dedup_triples(triples).drop_columns(["tkey"]))
+    # dedup_triples fuses G6 dedup with the G7 (subj, pred, obj) sort:
+    # one exchange serves both
+    triples = canonicalize_triple_schema(dedup_triples(triples))
 
     if with_linking:
         import ray
@@ -209,14 +301,14 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
         dedup_dir = os.path.join(out_dir, "deduped")
         if os.path.isdir(dedup_dir):
             shutil.rmtree(dedup_dir)
-        triples.write_parquet(dedup_dir)
+        triples.write_parquet(dedup_dir, compression="zstd")
         triples = rd.read_parquet(dedup_dir)
         dict_ref = ray.put(build_iri_dictionary(triples))
         triples = link_triples(rd.read_parquet(dedup_dir), dict_ref)
         triples = links_as_triples(triples)
-
-    if sort_output:
-        triples = triples.sort(["subj", "pred", "obj_value"])
+        if sort_output:
+            # appended link triples break the dedup-stage ordering
+            triples = triples.sort(["subj", "pred", "obj_value"])
     triples = render_ntriples_column(triples)
 
     if os.path.isdir(final_dir):
@@ -224,9 +316,11 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
     tmp_final = final_dir + ".tmp"
     if os.path.isdir(tmp_final):
         shutil.rmtree(tmp_final)
-    triples.write_parquet(tmp_final)
+    triples.write_parquet(tmp_final, compression="zstd")
     os.replace(tmp_final, final_dir)
 
+    _mark("final_merge")
+    report["phase_secs"] = {k: round(v, 2) for k, v in phases.items()}
     total = sum(v["triples"] for v in manifest["shards"].values())
     report["total_triples_pre_dedup"] = total
     report["total_files"] = sum(v["files"] for v in manifest["shards"].values())

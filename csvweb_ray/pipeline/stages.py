@@ -139,28 +139,37 @@ def pair_files(ds, pairing_salt: int = 1):
     import pandas as pd
 
     def _prep(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         paths = batch["path"].to_pylist()
         dirs = [_dirname(p) for p in paths]
-        is_json = [p.endswith(".json") for p in paths]
         out = batch.append_column("dir", pa.array(dirs, type=pa.string()))
         if pairing_salt <= 1:
             return out.append_column("salt", pa.array([0] * len(paths), type=pa.int32()))
-        # replicate JSON rows into every salt bucket; hash CSVs into one
-        tables = []
-        for s in range(pairing_salt):
-            mask = [j or (int(hashlib.md5(p.encode()).hexdigest(), 16) % pairing_salt) == s
-                    for p, j in zip(paths, is_json)]
-            sub = out.filter(pa.array(mask))
-            tables.append(sub.append_column(
-                "salt", pa.array([s] * sub.num_rows, type=pa.int32())))
-        return pa.concat_tables(tables)
+        # replicate JSON rows into every salt bucket; hash CSVs into one.
+        # One take() builds the output — no per-bucket filter passes.
+        indices, salts = [], []
+        for i, p in enumerate(paths):
+            if p.endswith(".json"):
+                indices.extend([i] * pairing_salt)
+                salts.extend(range(pairing_salt))
+            else:
+                indices.append(i)
+                salts.append(int(hashlib.md5(p.encode()).hexdigest(), 16)
+                             % pairing_salt)
+        taken = out.take(pa.array(indices, type=pa.int64()))
+        return taken.append_column("salt", pa.array(salts, type=pa.int32()))
 
     def _pair(group: pd.DataFrame) -> pd.DataFrame:
         rows = {"repo": [], "dir": [], "csv_path": [], "commit": [],
                 "content_sha256": [], "csv_text": [], "candidates": [],
-                "json_files": []}
+                "json_files": [], "shard": []}
+        has_shard = "shard" in group.columns
         jsons = {r.path: r.content for r in group.itertuples() if r.path.endswith(".json")}
-        json_blob = json.dumps(jsons)
+        # a candidate's text may reference sibling JSONs (tableSchema by
+        # URL, M3) — include a sibling iff some candidate names its
+        # basename, instead of shipping the whole directory per CSV row
+        # (a monorepo dir can hold thousands of files)
         for r in group.itertuples():
             if not r.path.endswith(".csv"):
                 continue
@@ -170,6 +179,11 @@ def pair_files(ds, pairing_salt: int = 1):
                          if _dirname(r.path) else "csv-metadata.json"):
                 if cand in jsons:
                     cands.append(cand)
+            carried = {c: jsons[c] for c in cands}
+            cand_text = "\n".join(carried.values())
+            for sib, text in jsons.items():
+                if sib not in carried and posixpath.basename(sib) in cand_text:
+                    carried[sib] = text
             rows["repo"].append(r.repo)
             rows["dir"].append(r.dir)
             rows["csv_path"].append(r.path)
@@ -177,7 +191,8 @@ def pair_files(ds, pairing_salt: int = 1):
             rows["content_sha256"].append(r.content_sha256)
             rows["csv_text"].append(r.content)
             rows["candidates"].append(json.dumps(cands))
-            rows["json_files"].append(json_blob)
+            rows["json_files"].append(json.dumps(carried))
+            rows["shard"].append(int(r.shard) if has_shard else -1)
         return pd.DataFrame(rows)
 
     prepped = ds.map_batches(_prep, batch_format="pyarrow")
@@ -186,7 +201,8 @@ def pair_files(ds, pairing_salt: int = 1):
 
 
 def _convert_one(repo: str, csv_path: str, commit: str, sha: str, csv_text: str,
-                 candidates: list[str], json_files: dict, mode: str):
+                 candidates: list[str], json_files: dict, mode: str,
+                 encode_iris: bool = False):
     """Convert one corpus CSV file → (triples, filemeta).  Pure; called per
     row inside the convert UDF.  Reference: the whole of
     ``Rdf/Converter.cs:227-471`` plus the discovery reference-check at
@@ -209,7 +225,8 @@ def _convert_one(repo: str, csv_path: str, commit: str, sha: str, csv_text: str,
         if text is None:
             continue
         try:
-            parsed = parse_metadata(text, repo_root + cand, resolver=resolver)
+            parsed = parse_metadata(text, repo_root + cand, resolver=resolver,
+                                    encode_templates=encode_iris)
         except MetadataParseError as ex:
             errors.append(f"metadata {cand}: {ex}")
             continue
@@ -239,7 +256,8 @@ def _convert_one(repo: str, csv_path: str, commit: str, sha: str, csv_text: str,
 
     try:
         result = convert_file(group, csv_texts, mode=mode,
-                              suppress_string_datatype=True, bnode_seed=seed)
+                              suppress_string_datatype=True, bnode_seed=seed,
+                              encode_iris=encode_iris)
         triples = result.triples
         errors.extend(result.errors)
         rows = result.rows
@@ -249,7 +267,8 @@ def _convert_one(repo: str, csv_path: str, commit: str, sha: str, csv_text: str,
     return triples, meta_path, rows, errors
 
 
-def convert_batches(ds, mode: str = MODE_MINIMAL, errors_out: str | None = None):
+def convert_batches(ds, mode: str = MODE_MINIMAL, encode_iris: bool = False,
+                    errors_out: str | None = None):
     """The central conversion UDF (C1-C14, U1-U4, D1-D8, J1-J4): stateless
     ``map_batches`` task, whole files in, triple rows out.
 
@@ -260,17 +279,19 @@ def convert_batches(ds, mode: str = MODE_MINIMAL, errors_out: str | None = None)
     assert mode in (MODE_MINIMAL, MODE_STANDARD)
 
     def _convert(batch: pa.Table) -> pa.Table:
+        shards_t, shards_f = [], []
         t_cols = {c: [] for c in TRIPLE_COLUMNS}
         f_cols = {c: [] for c in
                   ("repo", "path", "commit", "content_sha256", "metadata_path",
                    "rows", "n_triples", "n_errors", "errors", "triples_hash")}
         data = batch.to_pylist()
         for row in data:
+            row_shard = int(row.get("shard", -1))
             triples, meta_path, nrows, errs = _convert_one(
                 row["repo"], row["csv_path"], row["commit"],
                 row["content_sha256"], row["csv_text"],
                 json.loads(row["candidates"]), json.loads(row["json_files"]),
-                mode)
+                mode, encode_iris=encode_iris)
             thash = 0
             for (s, p, o) in triples:
                 thash ^= _triple_digest(s, p, o)
@@ -285,6 +306,8 @@ def convert_batches(ds, mode: str = MODE_MINIMAL, errors_out: str | None = None)
                 t_cols["path"].append(row["csv_path"])
                 t_cols["commit"].append(row["commit"])
                 t_cols["content_sha256"].append(row["content_sha256"])
+                shards_t.append(row_shard)
+            shards_f.append(row_shard)
             f_cols["repo"].append(row["repo"])
             f_cols["path"].append(row["csv_path"])
             f_cols["commit"].append(row["commit"])
@@ -300,7 +323,8 @@ def convert_batches(ds, mode: str = MODE_MINIMAL, errors_out: str | None = None)
         meta_tbl = pa.Table.from_pydict(f_cols, schema=_FILEMETA_SCHEMA)
         # align into one table with the marker column
         n_t, n_f = triples_tbl.num_rows, meta_tbl.num_rows
-        merged = {"rkind": pa.array(["t"] * n_t + ["f"] * n_f, type=pa.string())}
+        merged = {"rkind": pa.array(["t"] * n_t + ["f"] * n_f, type=pa.string()),
+                  "shard": pa.array(shards_t + shards_f, type=pa.int32())}
         for name in _TRIPLE_SCHEMA.names:
             left = triples_tbl[name].combine_chunks()
             if name in meta_tbl.column_names:
@@ -353,54 +377,77 @@ def triple_key_column(batch: pa.Table) -> pa.Table:
     return batch.append_column("tkey", pa.array(keys, type=pa.string()))
 
 
-_PACK_SEP = "\x1e"
 _FIELD_SEP = "\x1f"
 _NULL_MARK = "\x00"
 
+#: triple identity packed in OUTPUT-SORT order — sorting by ``term_key``
+#: is sorting by (subj, pred, obj_value, ...), so one exchange serves
+#: both the dedup co-location AND the final G7 ordering
+_TERM_COLS = ["subj", "pred", "obj_value", "subj_kind", "obj_kind",
+              "obj_datatype", "obj_lang"]
+_LINEAGE_COLS = ["repo", "path", "commit", "content_sha256"]
+
+
+def _join_cols(batch: pa.Table, cols: list[str]) -> pa.Array:
+    """Vectorized null-safe column concatenation (Arrow kernel)."""
+    arrays = [pc.fill_null(batch[c].combine_chunks().cast(pa.string()),
+                           _NULL_MARK) for c in cols]
+    return pc.binary_join_element_wise(*arrays, _FIELD_SEP)
+
 
 def dedup_triples(ds):
-    """G6: RDF set semantics (dotNetRDF ``Graph`` deduplicates on insert).
+    """G6 + G7 in one exchange: RDF set semantics (dotNetRDF ``Graph``
+    deduplicates on insert) fused with the global output sort.
 
-    Two-phase: vectorized per-batch ``drop_duplicates`` (the combiner —
-    kills intra-file dupes before the exchange), then ONE native
-    ``groupby(tkey).aggregate(Min(packed_row))`` where the whole row is
-    packed into a single string with a ``repo|path`` lineage prefix so the
-    Min picks the lexicographically-first lineage deterministically.
+    Vectorized per-batch local dedup (the combiner — kills intra-file
+    dupes before the exchange), then ONE ``sort(term_key)`` followed by a
+    within-block adjacent dedup keeping the min lineage per key.
 
-    Why not ``map_groups(head(1))``: that calls a Python UDF once per
-    group — per-group overhead × (one group per distinct triple) is the
-    whole corpus; the native aggregate stays vectorized per block."""
-    from ray.data.aggregate import Min
+    Exactness rests on two Ray sort invariants (ray 2.49,
+    ``table_block._find_partitions_sorted`` / ``merge_sorted_blocks``):
+    range partitioning maps every row with the same key value to the same
+    partition (boundaries compare by value: ``boundaries[i] <= x <
+    boundaries[i+1]``), and each reduce partition merges into one block —
+    so all copies of a triple land in the same block and the in-block
+    pass sees every one of them.  ``batch_size=None`` keeps one UDF call
+    per block.
+
+    Why not ``groupby().map_groups(head(1))`` or ``aggregate(Min)``: both
+    pay per-distinct-key Python/accumulator overhead — at one group per
+    distinct triple that overhead IS the corpus (measured 4-10x the cost
+    of this sort-based formulation).
+    """
 
     def _pack(batch: pa.Table) -> pa.Table:
-        batch = triple_key_column(batch)
-        df = batch.to_pandas()
-        df = df.sort_values(["tkey", "repo", "path"]).drop_duplicates("tkey")
-        arrs = [df[c].tolist() for c in TRIPLE_COLUMNS]
-        packed = [
-            f"{r}|{p}{_PACK_SEP}"
-            + _FIELD_SEP.join(_NULL_MARK if v is None else v for v in row)
-            for r, p, row in zip(df["repo"], df["path"], zip(*arrs))]
-        return pa.table({"tkey": pa.array(df["tkey"].tolist(), type=pa.string()),
-                         "packed": pa.array(packed, type=pa.string())})
+        term_key = _join_cols(batch, _TERM_COLS)
+        lineage = _join_cols(batch, _LINEAGE_COLS)
+        t = pa.table({"term_key": term_key, "lineage": lineage})
+        # local combiner: first lineage per term_key within the batch
+        df = t.to_pandas()
+        df = df.sort_values(["term_key", "lineage"]).drop_duplicates("term_key")
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    def _unpack(batch: pa.Table) -> pa.Table:
-        out = {c: [] for c in TRIPLE_COLUMNS}
-        out["tkey"] = []
-        for tkey, packed in zip(batch["tkey"].to_pylist(),
-                                batch["packed"].to_pylist()):
-            body = packed.split(_PACK_SEP, 1)[1]
-            vals = body.split(_FIELD_SEP)
-            for c, v in zip(TRIPLE_COLUMNS, vals):
-                out[c].append(None if v == _NULL_MARK else v)
-            out["tkey"].append(tkey)
-        return pa.Table.from_pydict(
-            {c: pa.array(out[c], type=pa.string())
-             for c in TRIPLE_COLUMNS + ["tkey"]})
+    def _adjacent(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["term_key", "lineage"], kind="stable") \
+            .drop_duplicates("term_key")
+        out = {}
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        terms = pc.split_pattern(t["term_key"].combine_chunks(), _FIELD_SEP)
+        lineage = pc.split_pattern(t["lineage"].combine_chunks(), _FIELD_SEP)
+        for i, c in enumerate(_TERM_COLS):
+            v = pc.list_element(terms, i)
+            out[c] = pc.if_else(pc.equal(v, _NULL_MARK),
+                                pa.nulls(len(t), type=pa.string()), v)
+        for i, c in enumerate(_LINEAGE_COLS):
+            v = pc.list_element(lineage, i)
+            out[c] = pc.if_else(pc.equal(v, _NULL_MARK),
+                                pa.nulls(len(t), type=pa.string()), v)
+        return pa.table({c: out[c] for c in TRIPLE_COLUMNS})
 
     packed = ds.map_batches(_pack, batch_format="pyarrow")
-    agg = packed.groupby("tkey").aggregate(Min("packed", alias_name="packed"))
-    return agg.map_batches(_unpack, batch_format="pyarrow")
+    return packed.sort("term_key").map_batches(_adjacent, batch_format="pyarrow",
+                                               batch_size=None)
 
 
 def canonicalize_triple_schema(ds):
@@ -422,22 +469,95 @@ def canonicalize_triple_schema(ds):
     return ds.map_batches(_cast, batch_format="pyarrow")
 
 
+#: characters that force the slow (escaping) render path: IRIs escape
+#: controls, space and <>"{}|^`\ (ntriples.py `_escape_iri`); literals
+#: escape only quote, backslash and control chars — a space in a literal
+#: is legal and must NOT push the row onto the slow path
+_IRI_SPECIAL = r'[\x00-\x20"\\<>{}|^`]'
+_LIT_SPECIAL = r'["\\\x00-\x1f]'
+
+
 def render_ntriples_column(ds, out: str = "nt"):
     """Final projection: one N-Triples line per triple row (sink analogue
-    of ``IRdfHandler`` → writer, S6)."""
+    of ``IRdfHandler`` → writer, S6).
+
+    Vectorized fast path: rows whose terms contain no escapable character
+    (the overwhelming majority) are assembled with Arrow string kernels;
+    only the rest go through the exact per-row escaping renderer."""
 
     def _render(batch: pa.Table) -> pa.Table:
-        rows = batch.select(["subj_kind", "subj", "pred", "obj_kind",
-                             "obj_value", "obj_datatype", "obj_lang"]).to_pylist()
-        lines = []
-        for r in rows:
-            s = (r["subj_kind"], r["subj"])
-            if r["obj_kind"] == "l":
-                o = ("l", r["obj_value"], r["obj_datatype"], r["obj_lang"])
-            else:
-                o = (r["obj_kind"], r["obj_value"])
-            lines.append(render_triple((s, r["pred"], o)))
-        return batch.append_column(out, pa.array(lines, type=pa.string()))
+        n = len(batch)
+        cols = {c: batch[c].combine_chunks().cast(pa.string())
+                for c in ("subj_kind", "subj", "pred", "obj_kind",
+                          "obj_value", "obj_datatype", "obj_lang")}
+        empty = pa.array([""] * n, type=pa.string())
+        is_lit = pc.equal(cols["obj_kind"], "l")
+        # IRI-positioned text: subj + pred (+ obj when it's an IRI) + dt
+        iri_joined = pc.binary_join_element_wise(
+            cols["subj"], cols["pred"],
+            pc.if_else(is_lit, pc.fill_null(cols["obj_datatype"], ""),
+                       cols["obj_value"]), "")
+        lit_text = pc.if_else(is_lit, cols["obj_value"], empty)
+        needs_escape = pc.or_(
+            pc.match_substring_regex(iri_joined, _IRI_SPECIAL),
+            pc.match_substring_regex(lit_text, _LIT_SPECIAL))
+
+        is_b = pc.equal(cols["subj_kind"], "b")
+        subj_txt = pc.if_else(
+            is_b,
+            pc.binary_join_element_wise(empty, cols["subj"], "_:"),
+            pc.binary_join_element_wise(
+                pc.binary_join_element_wise(empty, cols["subj"], "<"),
+                empty, ">"))
+        pred_txt = pc.binary_join_element_wise(
+            pc.binary_join_element_wise(empty, cols["pred"], "<"), empty, ">")
+
+        kind = cols["obj_kind"]
+        dt = cols["obj_datatype"]
+        lang = cols["obj_lang"]
+        ov = cols["obj_value"]
+        quoted = pc.binary_join_element_wise(
+            pc.binary_join_element_wise(empty, ov, '"'), empty, '"')
+        lit_txt = pc.if_else(
+            pc.is_valid(lang),
+            pc.binary_join_element_wise(quoted, pc.fill_null(lang, ""), "@"),
+            pc.if_else(
+                pc.is_valid(dt),
+                pc.binary_join_element_wise(
+                    pc.binary_join_element_wise(quoted, pc.fill_null(dt, ""),
+                                                "^^<"), empty, ">"),
+                quoted))
+        obj_txt = pc.if_else(
+            pc.equal(kind, "l"), lit_txt,
+            pc.if_else(
+                pc.equal(kind, "b"),
+                pc.binary_join_element_wise(empty, ov, "_:"),
+                pc.binary_join_element_wise(
+                    pc.binary_join_element_wise(empty, ov, "<"), empty, ">")))
+        fast = pc.binary_join_element_wise(
+            subj_txt, pred_txt, obj_txt, pa.array(["."] * n, type=pa.string()),
+            " ")
+
+        mask = needs_escape.to_pylist()
+        if any(mask):
+            sk = cols["subj_kind"].to_pylist()
+            sv = cols["subj"].to_pylist()
+            pv = cols["pred"].to_pylist()
+            ok_ = cols["obj_kind"].to_pylist()
+            ovl = cols["obj_value"].to_pylist()
+            dtl = dt.to_pylist()
+            lgl = lang.to_pylist()
+            slow = fast.to_pylist()
+            for i, m in enumerate(mask):
+                if not m:
+                    continue
+                o = ("l", ovl[i], dtl[i], lgl[i]) if ok_[i] == "l" \
+                    else (ok_[i], ovl[i])
+                slow[i] = render_triple(((sk[i], sv[i]), pv[i], o))
+            lines = pa.array(slow, type=pa.string())
+        else:
+            lines = fast
+        return batch.append_column(out, lines)
 
     return ds.map_batches(_render, batch_format="pyarrow")
 

@@ -1,0 +1,217 @@
+"""Training-data operator tests (csvweb_ray.ops.*): dedup family,
+similarity search, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs(ray_session, rows):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pylist(rows))
+
+
+DOCS = [
+    {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+    {"doc_id": 2, "text": "the quick brown fox jumps over the lazy dog"},   # exact dup of 1
+    {"doc_id": 3, "text": "the quick brown fox leaps over the lazy dog"},   # near dup of 1
+    {"doc_id": 4, "text": "completely different content about ray data pipelines"},
+    {"doc_id": 5, "text": ""},
+]
+
+
+def test_exact_dedup(ray_session):
+    from csvweb_ray.ops.dedup import exact_dedup
+
+    out = exact_dedup(_docs(ray_session, DOCS)).to_pandas()
+    assert sorted(out.doc_id) == [1, 3, 4, 5]  # doc 2 collapsed into 1
+
+
+def test_minhash_lsh_finds_near_dup(ray_session):
+    from csvweb_ray.ops.dedup import lsh_candidate_pairs, minhash_signatures
+
+    sigs = minhash_signatures(_docs(ray_session, DOCS), num_perm=64, ngram=2)
+    pairs = lsh_candidate_pairs(sigs, num_bands=16, threshold=0.4).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs.a, pairs.b)}
+    assert (1, 2) in got          # identical
+    assert (1, 3) in got or (2, 3) in got  # near dup
+    assert not any(4 in p for p in got)
+
+
+def test_exact_jaccard_verify(ray_session):
+    from csvweb_ray.ops.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        verify_jaccard_pairs,
+    )
+
+    docs = _docs(ray_session, DOCS)
+    sigs = minhash_signatures(docs, num_perm=64, ngram=2)
+    cands = lsh_candidate_pairs(sigs, num_bands=16, threshold=0.3)
+    verified = verify_jaccard_pairs(docs, cands, ngram=2, threshold=0.3).to_pandas()
+    row = verified[(verified.a == 1) & (verified.b == 2)]
+    assert len(row) == 1 and row.jaccard.iloc[0] == 1.0  # identical docs
+
+
+def test_simhash(ray_session):
+    from csvweb_ray.ops.dedup import simhash64, simhash_candidate_pairs, simhash_signatures
+
+    assert simhash64(DOCS[0]["text"]) == simhash64(DOCS[1]["text"])
+    sigs = simhash_signatures(_docs(ray_session, DOCS))
+    pairs = simhash_candidate_pairs(sigs, max_hamming=10).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs.a, pairs.b)}
+    assert (1, 2) in got
+    h = pairs[(pairs.a == 1) & (pairs.b == 2)].hamming.iloc[0]
+    assert h == 0
+
+
+def _emb_rows(n=40, dim=16, seed=3):
+    rng = np.random.RandomState(seed)
+    base = rng.standard_normal((4, dim))
+    rows = []
+    for i in range(n):
+        v = base[i % 4] + rng.standard_normal(dim) * 0.05  # 4 tight clusters
+        rows.append({"vec_id": i, "embedding": v.tolist()})
+    return rows
+
+
+def test_embedding_neardup_bruteforce_vs_lsh(ray_session):
+    from csvweb_ray.ops.dedup import embedding_neardup_pairs
+
+    rows = _emb_rows()
+    ds = _docs(ray_session, rows)
+    brute = embedding_neardup_pairs(ds, threshold=0.95, num_planes=0).to_pandas()
+    ds2 = _docs(ray_session, rows)
+    lsh = embedding_neardup_pairs(ds2, threshold=0.95, num_planes=4).to_pandas()
+    bset = {(int(a), int(b)) for a, b in zip(brute.a, brute.b)}
+    lset = {(int(a), int(b)) for a, b in zip(lsh.a, lsh.b)}
+    assert len(bset) > 10          # clusters produce near-dups
+    assert lset <= bset            # LSH candidates are a subset (recall < 1)
+    assert len(lset) >= len(bset) // 4  # ...but not an empty subset
+
+
+def test_ann_topk_exact(ray_session):
+    from csvweb_ray.ops.similarity import ann_topk
+
+    rows = _emb_rows()
+    queries = np.asarray([rows[0]["embedding"], rows[1]["embedding"]])
+    out = ann_topk(_docs(ray_session, rows), queries, k=5).to_pandas()
+    # numpy oracle
+    mat = np.asarray([r["embedding"] for r in rows])
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    q = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    scores = q @ unit.T
+    for qi in range(2):
+        expect = set(np.lexsort((np.arange(len(rows)), -scores[qi]))[:5])
+        got = set(out[out.query_id == qi].vec_id)
+        assert got == expect
+    # self is always the top hit
+    assert out[(out.query_id == 0) & (out["rank"] == 1)].vec_id.iloc[0] == 0
+
+
+def test_ann_lsh_recall(ray_session):
+    from csvweb_ray.ops.similarity import ann_topk, ann_topk_lsh
+
+    rows = _emb_rows()
+    queries = np.asarray([rows[0]["embedding"]])
+    exact = ann_topk(_docs(ray_session, rows), queries, k=5).to_pandas()
+    approx = ann_topk_lsh(_docs(ray_session, rows), queries, k=5,
+                          num_planes=4).to_pandas()
+    overlap = set(exact.vec_id) & set(approx.vec_id)
+    assert len(overlap) >= 3  # multi-probe recall on tight clusters
+
+
+def test_token_count_and_quality(ray_session):
+    from csvweb_ray.ops.text import quality_score, token_count
+
+    ds = token_count(_docs(ray_session, DOCS))
+    df = ds.to_pandas().set_index("doc_id")
+    assert df.loc[1, "ws_tokens"] == 9
+    assert df.loc[5, "ws_tokens"] == 0
+    qs = quality_score(_docs(ray_session, DOCS)).to_pandas().set_index("doc_id")
+    assert qs.loc[1, "n_words"] == 9
+    assert qs.loc[5, "quality"] == 0.0
+    assert 0 < qs.loc[1, "stopword_ratio"] < 1
+
+
+def test_lang_id_units():
+    from csvweb_ray.ops.text import LangId
+
+    lid = LangId()
+    assert lid.classify("the cat is on the mat and it is lazy")[0] == "en"
+    assert lid.classify("der hund ist nicht auf der straße und ich")[0] == "de"
+    assert lid.classify("")[0] == "und"
+    assert lid.classify("xyzzy plugh 12345")[0] == "und"
+
+
+def test_fingerprint_stability(ray_session):
+    from csvweb_ray.ops.text import fingerprint
+
+    df1 = fingerprint(_docs(ray_session, DOCS)).to_pandas().set_index("doc_id")
+    df2 = fingerprint(_docs(ray_session, DOCS)).to_pandas().set_index("doc_id")
+    assert (df1.fingerprint == df2.fingerprint).all()
+    assert df1.loc[1, "fingerprint"] == df1.loc[2, "fingerprint"]
+    assert df1.loc[1, "fingerprint"] != df1.loc[4, "fingerprint"]
+
+
+def test_cluster_pairs_unit():
+    from csvweb_ray.ops.dedup import cluster_pairs, dedup_keep_ids
+
+    pairs = [(1, 2), (2, 3), (10, 11)]
+    roots = cluster_pairs(pairs)
+    assert roots[3] == 1 and roots[11] == 10
+    keep = dedup_keep_ids([1, 2, 3, 4, 10, 11], pairs)
+    assert keep == {1, 4, 10}
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+
+def _media(ray_session, n=6):
+    import ray.data as rd
+
+    rows = [{"media_id": i, "kind": "image", "payload": bytes([i]) * (100 + i),
+             "mime": "image/png", "meta": "{}"} for i in range(n)]
+    return rd.from_arrow(pa.Table.from_pylist(rows))
+
+
+def test_image_decoder_stub(ray_session):
+    from csvweb_ray.ops.multimodal import decode_images
+
+    out = decode_images(_media(ray_session), height=8, width=8,
+                        concurrency=1, batch_size=4).to_pandas()
+    assert len(out) == 6
+    assert all(len(p) == 8 * 8 * 3 for p in out.pixels)
+    # deterministic fake decode: same payload → same pixels
+    out2 = decode_images(_media(ray_session), height=8, width=8,
+                         concurrency=1, batch_size=4).to_pandas()
+    assert list(out.pixels[0]) == list(out2.pixels[0])
+
+
+def test_image_decoder_strict_raises():
+    from csvweb_ray.ops.multimodal import ImageDecoder
+
+    dec = ImageDecoder(strict=True)
+    with pytest.raises(NotImplementedError):
+        dec(pa.Table.from_pylist([{"media_id": 1, "payload": b"x"}]))
+
+
+def test_video_frame_sampling(ray_session):
+    from csvweb_ray.ops.multimodal import sample_video_frames
+
+    out = sample_video_frames(_media(ray_session), every_nth=5,
+                              concurrency=1).to_pandas()
+    assert set(out.columns) == {"media_id", "frame_no", "pixels"}
+    assert len(out) >= 6            # at least one frame per media row
+    assert all(len(p) == 192 for p in out.pixels)
+
+
+def test_audio_featurizer(ray_session):
+    from csvweb_ray.ops.multimodal import extract_audio_features
+
+    out = extract_audio_features(_media(ray_session), n_bands=8,
+                                 concurrency=1).to_pandas()
+    assert all(len(f) == 8 for f in out.features)

@@ -108,11 +108,22 @@ def test_resume_skips_done_shards_and_is_identical(ray_session, tmp_path, fixtur
     second = rd.read_parquet(os.path.join(out, "final")).to_pandas()
     assert first.sort_values(["nt"]).nt.tolist() == second.sort_values(["nt"]).nt.tolist()
 
-    # delete one shard's data → only it is rebuilt, with the same hash
+    # delete one wave's data (simulating loss/invalidation) → only its
+    # shards are rebuilt, with the same per-shard hashes
     import shutil
 
     victim = next(k for k, v in m1["shards"].items() if v["triples"] > 0)
-    shutil.rmtree(os.path.join(out, "shards", f"shard={victim}"))
+    victim_wave = m1["shards"][victim]["wave"]
+    shutil.rmtree(os.path.join(out, "shards", victim_wave))
+    # wave dir gone but manifest says complete → startup cleanup treats it
+    # as crashed debris only if incomplete; deleting the manifest entry is
+    # the supported invalidation path
+    m_edit = json.load(open(os.path.join(out, "manifest.json")))
+    for s in m_edit["waves"][victim_wave]["shards"]:
+        del m_edit["shards"][str(s)]
+    del m_edit["waves"][victim_wave]
+    with open(os.path.join(out, "manifest.json"), "w") as fh:
+        json.dump(m_edit, fh)
     run_kg_pipeline(rows_to_table(rows), out, num_shards=4)
     m3 = json.load(open(os.path.join(out, "manifest.json")))
     assert m3["shards"][victim]["triples_hash"] == m1["shards"][victim]["triples_hash"]
@@ -164,6 +175,42 @@ def test_synth_corpus_convert_counts(ray_session, tmp_path):
     # virtual columns add more, NA nulls subtract — sanity band
     n = final.count()
     assert 1000 < n < 2000
+
+
+def test_dedup_exactness_adversarial(ray_session):
+    """The fused dedup+sort rests on Ray's range partitioner mapping equal
+    keys to one partition and each reduce partition merging to one block
+    (see stages.dedup_triples).  Hammer it: 120k rows over only 37 distinct
+    triples (every partition boundary lands inside a duplicate run) — the
+    result must be exactly the distinct set."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from csvweb_ray.pipeline.stages import TRIPLE_COLUMNS, dedup_triples
+
+    n, k = 120_000, 37
+    rows = {
+        "subj_kind": ["i"] * n,
+        "subj": [f"http://x.invalid/s{i % k:03d}" for i in range(n)],
+        "pred": ["http://x.invalid/p"] * n,
+        "obj_kind": ["l"] * n,
+        "obj_value": [f"v{i % k:03d}" for i in range(n)],
+        "obj_datatype": [None] * n,
+        "obj_lang": [None] * n,
+        "repo": [f"r{i % 101}" for i in range(n)],
+        "path": [f"f{i % 11}.csv" for i in range(n)],
+        "commit": ["c" * 40] * n,
+        "content_sha256": ["s" * 64] * n,
+    }
+    ds = rd.from_arrow(pa.table({c: pa.array(rows[c], type=pa.string())
+                                 for c in TRIPLE_COLUMNS})).repartition(64)
+    out = dedup_triples(ds).to_pandas()
+    assert len(out) == k
+    keys = sorted(zip(out.subj, out.obj_value))
+    assert keys == sorted({(f"http://x.invalid/s{i:03d}", f"v{i:03d}")
+                           for i in range(k)})
+    # output arrives sorted by (subj, pred, obj_value) within the stream
+    assert list(out.subj) == sorted(out.subj)
 
 
 def test_linking_stage(ray_session, tmp_path, fixtures_dir):
