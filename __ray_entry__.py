@@ -332,6 +332,41 @@ def _q_ann_topk_lsh(sf_dir: str):
                           ascending=[True, False, True]).reset_index(drop=True)
 
 
+def _q_multimodal_stub(sf_dir: str):
+    """Multimodal plumbing driven end-to-end with deterministic fake
+    payloads derived from the documents table (rows-only check: decode is
+    stubbed, the Ray-side schema/actor/batch plumbing is real)."""
+    _cfg()
+    import pyarrow as pa
+
+    from csvweb_ray.ops.multimodal import decode_images
+    from csvweb_ray.queries import T
+
+    def _to_media(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "kind": pa.array(["image"] * len(ids), type=pa.string()),
+            "payload": pa.array([(t or "").encode()[:256] for t in texts],
+                                type=pa.binary()),
+            "mime": pa.array(["image/png"] * len(ids), type=pa.string()),
+            "meta": pa.array(["{}"] * len(ids), type=pa.string()),
+        })
+
+    media = (T(sf_dir, "documents", columns=["doc_id", "text"])
+             .map_batches(_to_media, batch_format="pyarrow"))
+    decoded = decode_images(media, height=8, width=8, concurrency=2)
+
+    def _checksum(b: pa.Table) -> pa.Table:
+        sums = [int(sum(px)) for px in b["pixels"].to_pylist()]
+        return pa.table({"media_id": b["media_id"],
+                         "pixel_sum": pa.array(sums, type=pa.int64())})
+
+    return (decoded.map_batches(_checksum, batch_format="pyarrow")
+            .sort("media_id").to_pandas())
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from csvweb_ray import queries as Q
 
@@ -351,6 +386,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_topk": wrap(Q.q_sort_topk),
         "window_tumbling": wrap(Q.q_window_tumbling),
         "asof_join": wrap(Q.q_asof_join),
+        "topk_per_group": wrap(Q.q_topk_per_group),
+        "distinct_count": wrap(Q.q_distinct_count),
+        "quantiles": wrap(Q.q_quantiles),
+        "sessionize": wrap(Q.q_sessionize),
         # flagship CSVW KG pipeline
         "kg_golden": _q_kg_golden,
         "kg_docs": _q_kg_docs,
@@ -369,6 +408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,
+        "multimodal_stub": _q_multimodal_stub,
     }
 
 
@@ -440,6 +480,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0
               AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9
             ORDER BY a, b""",
+        "topk_per_group": """
+            SELECT c_mktsegment, o_orderkey, o_totalprice, rank FROM (
+                SELECT c_mktsegment, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY c_mktsegment
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rank
+                FROM orders JOIN customer ON o_custkey = c_custkey)
+            WHERE rank <= 3 ORDER BY c_mktsegment, rank""",
+        "distinct_count": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type""",
+        "quantiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+        "sessionize": """
+            WITH d AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+                SELECT user_id, event_id, ts,
+                       sum(new_s) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS session_id
+                FROM d)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts) AS t_start, max(ts) AS t_end
+            FROM s GROUP BY user_id, session_id
+            ORDER BY user_id, session_id""",
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                        FROM embeddings WHERE vec_id < 4),

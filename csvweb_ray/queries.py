@@ -280,3 +280,110 @@ def q_asof_join(sf_dir: str):
     out = both.groupby("k").map_groups(_asof, batch_format="pandas")
     df = out.to_pandas().sort_values("event_id")
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# top-k per group (window-function shape)
+
+def q_topk_per_group(sf_dir: str, k: int = 3):
+    """Top-3 orders by price per market segment: per-batch partial top-k
+    (combiner) → small grouped exact top-k.  The map_groups here runs once
+    per segment (5 groups), not per row."""
+    import ray
+
+    cust = T(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(dict(zip(cust.c_custkey, cust.c_mktsegment)))
+    ds = T(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def _attach_partial(b: pa.Table) -> pa.Table:
+        seg = ray.get(seg_ref)
+        df = b.to_pandas()
+        df["c_mktsegment"] = df.o_custkey.map(seg)
+        df = df.dropna(subset=["c_mktsegment"])
+        df = (df.sort_values(["c_mktsegment", "o_totalprice", "o_orderkey"],
+                             ascending=[True, False, True])
+              .groupby("c_mktsegment").head(k))
+        return pa.Table.from_pandas(df[["c_mktsegment", "o_orderkey", "o_totalprice"]],
+                                    preserve_index=False)
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True]).head(k)
+        g["rank"] = range(1, len(g) + 1)
+        return g
+
+    out = (ds.map_batches(_attach_partial, batch_format="pyarrow")
+           .groupby("c_mktsegment").map_groups(_final, batch_format="pandas"))
+    df = out.to_pandas().sort_values(["c_mktsegment", "rank"])
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# distinct aggregation
+
+def q_distinct_count(sf_dir: str):
+    """count(DISTINCT user_id) per event_type: per-batch distinct pairs
+    (combiner) → grouped distinct → count.  The shuffle ships distinct
+    pairs, not events."""
+    from ray.data.aggregate import Count
+
+    ds = T(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def _distinct(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().drop_duplicates(["event_type", "user_id"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    pairs = (ds.map_batches(_distinct, batch_format="pyarrow")
+             .groupby(["event_type", "user_id"])
+             .map_groups(_first, batch_format="pandas"))
+    out = pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+    return pa.Table.from_pandas(
+        out.to_pandas()[["event_type", "n_users"]].sort_values("event_type"),
+        preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# exact quantiles per group
+
+def q_quantiles(sf_dir: str):
+    """p50/p95 of extended price per return flag — exact, linear
+    interpolation on the sorted group (3 groups; vectorized np.percentile
+    inside map_groups)."""
+    ds = T(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+
+    def _q(g: pd.DataFrame) -> pd.DataFrame:
+        p50, p95 = np.percentile(g.l_extendedprice, [50, 95])
+        return pd.DataFrame({"l_returnflag": [g.l_returnflag.iloc[0]],
+                             "p50": [round(p50, 4)], "p95": [round(p95, 4)]})
+
+    out = ds.groupby("l_returnflag").map_groups(_q, batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas().sort_values("l_returnflag"),
+                                preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# session windows (streaming-shaped; 30-minute inactivity gap)
+
+def q_sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Per-user session windows: events sorted within user, a new session
+    starts after a >30-min gap.  Ordering assumption: per-user order
+    established inside map_groups (the groupby co-locates each user).
+    Output: one row per session with count and span."""
+    ds = T(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def _sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g.ts.diff() > pd.Timedelta(minutes=gap_minutes)
+        g["session_id"] = gap.cumsum().astype("int64")
+        out = (g.groupby("session_id", as_index=False)
+               .agg(user_id=("user_id", "first"), n_events=("event_id", "size"),
+                    t_start=("ts", "min"), t_end=("ts", "max")))
+        return out[["user_id", "session_id", "n_events", "t_start", "t_end"]]
+
+    out = ds.groupby("user_id").map_groups(_sessions, batch_format="pandas")
+    df = out.to_pandas().sort_values(["user_id", "session_id"])
+    df["n_events"] = df["n_events"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
