@@ -302,7 +302,10 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
         if os.path.isdir(dedup_dir):
             shutil.rmtree(dedup_dir)
         triples.write_parquet(dedup_dir, compression="zstd")
-        triples = rd.read_parquet(dedup_dir)
+        os.makedirs(dedup_dir, exist_ok=True)  # zero-triple corpus: write creates nothing
+        if not os.listdir(dedup_dir):
+            with_linking = False  # nothing to link
+        triples = rd.read_parquet(dedup_dir) if os.listdir(dedup_dir) else triples
         dict_ref = ray.put(build_iri_dictionary(triples))
         triples = link_triples(rd.read_parquet(dedup_dir), dict_ref)
         triples = links_as_triples(triples)
@@ -317,6 +320,7 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
     if os.path.isdir(tmp_final):
         shutil.rmtree(tmp_final)
     triples.write_parquet(tmp_final, compression="zstd")
+    os.makedirs(tmp_final, exist_ok=True)  # zero-triple corpus: write creates nothing
     os.replace(tmp_final, final_dir)
 
     _mark("final_merge")

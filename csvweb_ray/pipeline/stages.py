@@ -227,8 +227,9 @@ def _convert_one(repo: str, csv_path: str, commit: str, sha: str, csv_text: str,
         try:
             parsed = parse_metadata(text, repo_root + cand, resolver=resolver,
                                     encode_templates=encode_iris)
-        except MetadataParseError as ex:
-            errors.append(f"metadata {cand}: {ex}")
+        except Exception as ex:  # noqa: BLE001 - any parse failure (incl.
+            # malformed JSON) is an M15 error-channel event, never fatal
+            errors.append(f"metadata {cand}: {type(ex).__name__}: {ex}")
             continue
         if any(t.url == root_url for t in parsed.tables):
             group, meta_path = parsed, cand

@@ -177,6 +177,67 @@ def test_synth_corpus_convert_counts(ray_session, tmp_path):
     assert 1000 < n < 2000
 
 
+def test_error_side_channel(ray_session, tmp_path):
+    """M15: malformed metadata / broken CSV / unreferenced metadata do not
+    abort the pipeline — they surface in the per-file metrics rows and the
+    manifest error counts while healthy files convert normally."""
+    import json as _json
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from csvweb_ray.pipeline.runner import run_kg_pipeline
+
+    good_meta = {"@context": "http://www.w3.org/ns/csvw", "url": "good.csv",
+                 "tableSchema": {"columns": [{"name": "id", "datatype": "integer"},
+                                             {"name": "v"}]}}
+    rows = [
+        # healthy pair
+        {"repo": "r/e", "path": "good.csv", "commit": "a" * 40, "lang": "csv",
+         "content": "id,v\n1,x\n2,y\n"},
+        {"repo": "r/e", "path": "good.csv-metadata.json", "commit": "a" * 40,
+         "lang": "json", "content": _json.dumps(good_meta)},
+        # metadata that is not even JSON
+        {"repo": "r/e", "path": "bad.csv", "commit": "a" * 40, "lang": "csv",
+         "content": "a,b\n1,2\n"},
+        {"repo": "r/e", "path": "bad.csv-metadata.json", "commit": "a" * 40,
+         "lang": "json", "content": "{not json at all"},
+        # metadata referencing a different table → ignored with warning,
+        # bare-table conversion still happens (W3C test117 semantics)
+        {"repo": "r/e", "path": "other.csv", "commit": "a" * 40, "lang": "csv",
+         "content": "c\nz\n"},
+        {"repo": "r/e", "path": "csv-metadata.json", "commit": "a" * 40,
+         "lang": "json",
+         "content": _json.dumps({"@context": "http://www.w3.org/ns/csvw",
+                                 "url": "http://elsewhere.invalid/x.csv"})},
+        # datatype violation: non-integer cell under an integer column
+        {"repo": "r/e2", "path": "typed.csv", "commit": "b" * 40, "lang": "csv",
+         "content": "id,v\nNOTANINT,x\n"},
+        {"repo": "r/e2", "path": "typed.csv-metadata.json", "commit": "b" * 40,
+         "lang": "json", "content": _json.dumps(
+             {"@context": "http://www.w3.org/ns/csvw", "url": "typed.csv",
+              "tableSchema": {"columns": [{"name": "id", "datatype": "integer"},
+                                          {"name": "v"}]}})},
+    ]
+    out = str(tmp_path / "out")
+    report = run_kg_pipeline(rows_to_table(rows), out, num_shards=2)
+    assert report["total_files"] == 4
+    assert report["total_errors"] >= 2  # bad json + reference mismatch (+ type)
+    # healthy file converted; every CSV produced a metrics row
+    shards = os.path.join(out, "shards")
+    metas = pads.dataset(shards, format="parquet").to_table(
+        filter=pads.field("rkind") == "f",
+        columns=["path", "n_triples", "errors"]).to_pylist()
+    by_path = {m["path"]: m for m in metas}
+    assert by_path["good.csv"]["n_triples"] == 4
+    assert by_path["good.csv"]["errors"] is None
+    assert "metadata" in (by_path["bad.csv"]["errors"] or "")
+    assert by_path["bad.csv"]["n_triples"] > 0       # fell back to bare table
+    assert by_path["other.csv"]["n_triples"] > 0     # ignored foreign metadata
+    final = rd.read_parquet(os.path.join(out, "final")).to_pandas()
+    assert len(final) == report["total_triples_pre_dedup"]
+
+
 def test_dedup_exactness_adversarial(ray_session):
     """The fused dedup+sort rests on Ray's range partitioner mapping equal
     keys to one partition and each reduce partition merging to one block
