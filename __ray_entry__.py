@@ -15,12 +15,17 @@ from __future__ import annotations
 
 import os
 import shutil
+import sys
 import tempfile
 from collections.abc import Callable
 from typing import Any
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 FIXTURES = os.path.join(REPO, "fixtures")
+
+# importable regardless of the driver's working directory
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 
 
 def _cfg():
