@@ -470,8 +470,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY text ORDER BY keep_id""",
         "token_count": """
             SELECT lang,
-                   sum(length(list_filter(regexp_split_to_array(text, '\\s+'),
-                                          x -> x <> ''))) AS total_ws_tokens,
+                   CAST(sum(length(list_filter(regexp_split_to_array(text, '\\s+'),
+                                               x -> x <> ''))) AS BIGINT)
+                       AS total_ws_tokens,
                    count(*) AS n_docs
             FROM documents GROUP BY lang ORDER BY lang""",
         "text_stats": """
@@ -510,8 +511,9 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             s AS (
                 SELECT user_id, event_id, ts,
-                       sum(new_s) OVER (PARTITION BY user_id
-                                        ORDER BY ts, event_id) AS session_id
+                       CAST(sum(new_s) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS BIGINT)
+                           AS session_id
                 FROM d)
             SELECT user_id, session_id, count(*) AS n_events,
                    min(ts) AS t_start, max(ts) AS t_end

@@ -279,6 +279,9 @@ def q_asof_join(sf_dir: str):
 
     out = both.groupby("k").map_groups(_asof, batch_format="pandas")
     df = out.to_pandas().sort_values("event_id")
+    # merge/reindex paths introduce NaN-capable dtypes; pin to the oracle's
+    df["event_id"] = df["event_id"].astype("int64")
+    df["last_order_date"] = df["last_order_date"].astype("datetime64[us]")
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
