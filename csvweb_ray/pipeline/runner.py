@@ -137,8 +137,7 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
                     num_shards: int = 8, shards_per_wave: int | None = None,
                     pairing_salt: int = 1, resume: bool = True,
                     with_linking: bool = False, rebalance: bool = True,
-                    encode_iris: bool = False,
-                    sort_output: bool = True) -> PipelineReport:
+                    encode_iris: bool = False) -> PipelineReport:
     """Run the flagship corpus→triples pipeline with checkpoint/resume.
 
     ``source``: parquet path / pyarrow.Table / Dataset of corpus rows.
@@ -202,6 +201,11 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
 
     invalid = {s for s, fp in fingerprints.items()
                if manifest["shards"].get(str(s), {}).get("fingerprint") != fp}
+    # a manifest shard with NO surviving input files never appears in the
+    # current fingerprint map — without this its stale wave (and triples
+    # from deleted corpus files) would persist into the final merge
+    invalid |= {int(s) for s in manifest["shards"]
+                if int(s) not in fingerprints}
     dropped_waves = [wid for wid, info in manifest["waves"].items()
                      if any(int(x) in invalid for x in info["shards"])]
     for wid in dropped_waves:
@@ -289,29 +293,22 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
 
     all_out = rd.read_parquet(shards_dir)
     triples, filemeta = split_convert_output(all_out)
-    # dedup_triples fuses G6 dedup with the G7 (subj, pred, obj) sort:
-    # one exchange serves both
-    triples = canonicalize_triple_schema(dedup_triples(triples))
 
     if with_linking:
         import ray
 
-        # checkpoint the deduped stream so the dictionary build and the
-        # linking pass don't each re-run the dedup shuffle
-        dedup_dir = os.path.join(out_dir, "deduped")
-        if os.path.isdir(dedup_dir):
-            shutil.rmtree(dedup_dir)
-        triples.write_parquet(dedup_dir, compression="zstd")
-        os.makedirs(dedup_dir, exist_ok=True)  # zero-triple corpus: write creates nothing
-        if not os.listdir(dedup_dir):
-            with_linking = False  # nothing to link
-        triples = rd.read_parquet(dedup_dir) if os.listdir(dedup_dir) else triples
+        # linking runs BEFORE the fused dedup+sort so the link triples ride
+        # the same single exchange (the old post-dedup path paid a second
+        # full sort over the entire stream just to re-order the appended
+        # links).  Both passes re-read the already-checkpointed wave
+        # parquet, so nothing is recomputed; duplicate link triples minted
+        # from duplicate source triples collapse in the dedup.
         dict_ref = ray.put(build_iri_dictionary(triples))
-        triples = link_triples(rd.read_parquet(dedup_dir), dict_ref)
-        triples = links_as_triples(triples)
-        if sort_output:
-            # appended link triples break the dedup-stage ordering
-            triples = triples.sort(["subj", "pred", "obj_value"])
+        triples = links_as_triples(link_triples(triples, dict_ref))
+
+    # dedup_triples fuses G6 dedup with the G7 (subj, pred, obj) sort:
+    # one exchange serves both
+    triples = canonicalize_triple_schema(dedup_triples(triples))
     triples = render_ntriples_column(triples)
 
     if os.path.isdir(final_dir):

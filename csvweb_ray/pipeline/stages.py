@@ -380,6 +380,24 @@ def triple_key_column(batch: pa.Table) -> pa.Table:
 
 _FIELD_SEP = "\x1f"
 _NULL_MARK = "\x00"
+_ESC = "\x1e"
+
+
+def _escape_cells(arr: pa.Array) -> pa.Array:
+    """Escape the pack-control characters inside cell values so a literal
+    ``\\x1f`` / ``\\x00`` in CSV text (legal input) cannot split into extra
+    fields or round-trip to null.  ESC is escaped first so decoding is
+    unambiguous; all three are plain-substring Arrow kernels (no-ops on
+    clean data)."""
+    a = pc.replace_substring(arr, pattern=_ESC, replacement=_ESC + "E")
+    a = pc.replace_substring(a, pattern=_FIELD_SEP, replacement=_ESC + "F")
+    return pc.replace_substring(a, pattern=_NULL_MARK, replacement=_ESC + "Z")
+
+
+def _unescape_cells(arr: pa.Array) -> pa.Array:
+    a = pc.replace_substring(arr, pattern=_ESC + "Z", replacement=_NULL_MARK)
+    a = pc.replace_substring(a, pattern=_ESC + "F", replacement=_FIELD_SEP)
+    return pc.replace_substring(a, pattern=_ESC + "E", replacement=_ESC)
 
 #: triple identity packed in OUTPUT-SORT order — sorting by ``term_key``
 #: is sorting by (subj, pred, obj_value, ...), so one exchange serves
@@ -390,9 +408,12 @@ _LINEAGE_COLS = ["repo", "path", "commit", "content_sha256"]
 
 
 def _join_cols(batch: pa.Table, cols: list[str]) -> pa.Array:
-    """Vectorized null-safe column concatenation (Arrow kernel)."""
-    arrays = [pc.fill_null(batch[c].combine_chunks().cast(pa.string()),
-                           _NULL_MARK) for c in cols]
+    """Vectorized null-safe column concatenation (Arrow kernel).  Values
+    are control-char-escaped first (``_escape_cells``); a bare NULL-mark
+    therefore unambiguously means SQL-null."""
+    arrays = [pc.fill_null(
+        _escape_cells(batch[c].combine_chunks().cast(pa.string())),
+        _NULL_MARK) for c in cols]
     return pc.binary_join_element_wise(*arrays, _FIELD_SEP)
 
 
@@ -439,11 +460,13 @@ def dedup_triples(ds):
         for i, c in enumerate(_TERM_COLS):
             v = pc.list_element(terms, i)
             out[c] = pc.if_else(pc.equal(v, _NULL_MARK),
-                                pa.nulls(len(t), type=pa.string()), v)
+                                pa.nulls(len(t), type=pa.string()),
+                                _unescape_cells(v))
         for i, c in enumerate(_LINEAGE_COLS):
             v = pc.list_element(lineage, i)
             out[c] = pc.if_else(pc.equal(v, _NULL_MARK),
-                                pa.nulls(len(t), type=pa.string()), v)
+                                pa.nulls(len(t), type=pa.string()),
+                                _unescape_cells(v))
         return pa.table({c: out[c] for c in TRIPLE_COLUMNS})
 
     packed = ds.map_batches(_pack, batch_format="pyarrow")

@@ -237,10 +237,12 @@ def q_window_tumbling(sf_dir: str):
 # ---------------------------------------------------------------------------
 # as-of join (bucketed merge_asof; guide §Joins)
 
-def q_asof_join(sf_dir: str):
+def q_asof_join(sf_dir: str, num_buckets: int = 16):
     """Each event joined to the most recent prior order of the same
-    user/customer: bucket by key, sort within bucket, ``pd.merge_asof``
-    per bucket.  Partitioning assumption: key co-location per bucket."""
+    user/customer: hash the key into ``num_buckets`` buckets (NOT one
+    group per raw key — that is one pandas call per user and maps a hot
+    user onto a single task), then one ``pd.merge_asof(..., by="k")`` per
+    bucket.  Partitioning assumption: key co-location per bucket."""
     ev = T(sf_dir, "events", columns=["event_id", "user_id", "ts"])
     od = T(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
 
@@ -255,7 +257,11 @@ def q_asof_join(sf_dir: str):
 
     def _key(b: pa.Table) -> pa.Table:
         key = b["user_id"] if "user_id" in b.column_names else b["o_custkey"]
-        return b.append_column("k", pc.cast(key, pa.int64()))
+        k = pc.cast(key, pa.int64())
+        b = b.append_column("k", k)
+        bucket = pc.cast(pc.bit_wise_and(k, pa.scalar(num_buckets - 1)),
+                         pa.int32())
+        return b.append_column("bucket", bucket)
 
     both = (left.map_batches(_key, batch_format="pyarrow")
             .union(right.map_batches(_key, batch_format="pyarrow")))
@@ -272,12 +278,12 @@ def q_asof_join(sf_dir: str):
             m = ev_g.copy()
             m["last_order_date"] = pd.NaT
             return m[["event_id", "last_order_date"]]
-        m = pd.merge_asof(ev_g, od_g, left_on="ts", right_on="o_orderdate",
-                          direction="backward")
+        m = pd.merge_asof(ev_g, od_g, by="k", left_on="ts",
+                          right_on="o_orderdate", direction="backward")
         m = m.rename(columns={"o_orderdate": "last_order_date"})
         return m[["event_id", "last_order_date"]]
 
-    out = both.groupby("k").map_groups(_asof, batch_format="pandas")
+    out = both.groupby("bucket").map_groups(_asof, batch_format="pandas")
     df = out.to_pandas().sort_values("event_id")
     # merge/reindex paths introduce NaN-capable dtypes; pin to the oracle's
     df["event_id"] = df["event_id"].astype("int64")
@@ -326,8 +332,10 @@ def q_topk_per_group(sf_dir: str, k: int = 3):
 
 def q_distinct_count(sf_dir: str):
     """count(DISTINCT user_id) per event_type: per-batch distinct pairs
-    (combiner) → grouped distinct → count.  The shuffle ships distinct
-    pairs, not events."""
+    (combiner) → native grouped Count (one row per distinct pair) → count
+    rows per event_type.  Both aggregates are native — no per-group Python
+    call (a ``map_groups`` here would pay one pandas call per distinct
+    (event_type, user_id) pair, the map_groups-cardinality trap)."""
     from ray.data.aggregate import Count
 
     ds = T(sf_dir, "events", columns=["user_id", "event_type"])
@@ -336,12 +344,9 @@ def q_distinct_count(sf_dir: str):
         df = b.to_pandas().drop_duplicates(["event_type", "user_id"])
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    def _first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
     pairs = (ds.map_batches(_distinct, batch_format="pyarrow")
              .groupby(["event_type", "user_id"])
-             .map_groups(_first, batch_format="pandas"))
+             .aggregate(Count(alias_name="n_copies")))
     out = pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
     return pa.Table.from_pandas(
         out.to_pandas()[["event_type", "n_users"]].sort_values("event_type"),
@@ -370,23 +375,34 @@ def q_quantiles(sf_dir: str):
 # ---------------------------------------------------------------------------
 # session windows (streaming-shaped; 30-minute inactivity gap)
 
-def q_sessionize(sf_dir: str, gap_minutes: int = 30):
+def q_sessionize(sf_dir: str, gap_minutes: int = 30, num_buckets: int = 16):
     """Per-user session windows: events sorted within user, a new session
-    starts after a >30-min gap.  Ordering assumption: per-user order
-    established inside map_groups (the groupby co-locates each user).
-    Output: one row per session with count and span."""
+    starts after a >30-min gap.  Users are hashed into ``num_buckets``
+    buckets (one pandas call per BUCKET, not per user — the
+    map_groups-cardinality trap); inside a bucket the session boundaries
+    and aggregates are fully vectorized pandas groupby operations.
+    Ordering assumption: per-user order established inside the bucket (the
+    groupby co-locates each user's rows).  Output: one row per session."""
     ds = T(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
+    def _bucket(b: pa.Table) -> pa.Table:
+        bucket = pc.cast(pc.bit_wise_and(pc.cast(b["user_id"], pa.int64()),
+                                         pa.scalar(num_buckets - 1)), pa.int32())
+        return b.append_column("bucket", bucket)
+
     def _sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gap = g.ts.diff() > pd.Timedelta(minutes=gap_minutes)
-        g["session_id"] = gap.cumsum().astype("int64")
-        out = (g.groupby("session_id", as_index=False)
-               .agg(user_id=("user_id", "first"), n_events=("event_id", "size"),
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        new_user = g.user_id.ne(g.user_id.shift())
+        gap = (g.ts.diff() > pd.Timedelta(minutes=gap_minutes)) & ~new_user
+        g["session_id"] = gap.astype("int64").groupby(
+            g.user_id.values).cumsum().astype("int64")
+        out = (g.groupby(["user_id", "session_id"], as_index=False)
+               .agg(n_events=("event_id", "size"),
                     t_start=("ts", "min"), t_end=("ts", "max")))
         return out[["user_id", "session_id", "n_events", "t_start", "t_end"]]
 
-    out = ds.groupby("user_id").map_groups(_sessions, batch_format="pandas")
+    out = (ds.map_batches(_bucket, batch_format="pyarrow")
+           .groupby("bucket").map_groups(_sessions, batch_format="pandas"))
     df = out.to_pandas().sort_values(["user_id", "session_id"])
     df["n_events"] = df["n_events"].astype("int64")
     return pa.Table.from_pandas(df, preserve_index=False)

@@ -300,3 +300,65 @@ def test_linking_stage(ray_session, tmp_path, fixtures_dir):
     links = final[final.pred == "http://corpus.invalid/vocab#linksTo"]
     assert len(links) >= 2  # "alpha beta" and "gamma" literals link to their IRIs
     assert set(links.obj_kind) == {"i"}
+
+
+def test_control_chars_in_cells_roundtrip(ray_session, tmp_path):
+    """A literal \\x1f / \\x00 / \\x1e inside a CSV cell (legal input) must
+    survive the packed dedup+sort exchange byte-for-byte — the pack
+    escapes its own separator/null-mark control characters."""
+    import ray.data as rd
+
+    csv_text = 'id,v\n1,"a\x1fb"\n2,"c\x00d"\n3,"e\x1ef"\n4,"\x00"\n'
+    rows = [{"repo": "r/ctl", "path": "t.csv", "commit": "c" * 40,
+             "lang": "csv", "content": csv_text}]
+    out, report = _run(ray_session, tmp_path, rows, num_shards=1)
+    final = rd.read_parquet(os.path.join(out, "final")).to_pandas()
+    lits = set(final[final.obj_kind == "l"].obj_value)
+    assert {"a\x1fb", "c\x00d", "e\x1ef", "\x00"} <= lits
+    # no corrupted splits: every triple row still has a valid subject
+    assert final.subj.notna().all()
+
+
+def test_resume_drops_shards_with_removed_inputs(ray_session, tmp_path):
+    """A shard whose input files were all deleted between runs must be
+    invalidated on resume — its triples may not persist in the output."""
+    import ray.data as rd
+
+    from csvweb_ray.pipeline.runner import run_kg_pipeline, shard_of
+
+    def row(repo, val):
+        return {"repo": repo, "path": "t.csv", "commit": "c" * 40,
+                "lang": "csv", "content": f"id,v\n1,{val}\n"}
+
+    # two repos that land in different shards (dir = "")
+    r1, r2 = "r/keep", "r/drop"
+    n = 8
+    assert shard_of(r1, "", n) != shard_of(r2, "", n)
+    out = str(tmp_path / "out")
+    run_kg_pipeline(rows_to_table([row(r1, "kept"), row(r2, "gone")]), out,
+                    num_shards=n, shards_per_wave=1)
+    first = rd.read_parquet(os.path.join(out, "final")).to_pandas()
+    assert set(first[first.obj_kind == "l"].obj_value) >= {"kept", "gone"}
+
+    # second run without r2: its shard has no surviving inputs
+    run_kg_pipeline(rows_to_table([row(r1, "kept")]), out,
+                    num_shards=n, shards_per_wave=1)
+    second = rd.read_parquet(os.path.join(out, "final")).to_pandas()
+    vals = set(second[second.obj_kind == "l"].obj_value)
+    assert "kept" in vals and "gone" not in vals
+
+
+def test_zero_triple_corpus_with_linking(ray_session, tmp_path):
+    """A corpus whose files convert to zero triples must complete cleanly
+    with linking enabled (regression: the old post-dedup linking path
+    crashed reading an empty checkpoint dir)."""
+    rows = [{"repo": "r/empty", "path": "t.csv", "commit": "c" * 40,
+             "lang": "csv", "content": ""}]
+    out, report = _run(ray_session, tmp_path, rows, num_shards=2,
+                       with_linking=True)
+    import ray.data as rd
+
+    final_dir = os.path.join(out, "final")
+    assert os.path.isdir(final_dir)
+    files = [f for f in os.listdir(final_dir) if f.endswith(".parquet")]
+    assert (rd.read_parquet(final_dir).count() if files else 0) == 0
