@@ -32,8 +32,8 @@ import pyarrow.compute as pc
 __all__ = [
     "add_sha256_column", "exact_dedup", "minhash_signatures",
     "lsh_candidate_pairs", "verify_jaccard_pairs", "simhash_signatures",
-    "simhash_candidate_pairs", "embedding_neardup_pairs", "cluster_pairs",
-    "dedup_keep_ids",
+    "simhash_candidate_pairs", "embedding_neardup_pairs", "auto_num_planes",
+    "cluster_pairs", "cluster_pairs_distributed", "dedup_keep_ids",
 ]
 
 _TOKEN = re.compile(r"\w+", re.UNICODE)
@@ -133,60 +133,102 @@ def minhash_signatures(ds, col: str = "text", id_col: str = "doc_id",
 
 def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_bands: int = 32,
                         threshold: float = 0.5):
-    """Band the signatures, group by (band, band-hash) bucket, emit verified
-    candidate pairs (estimated Jaccard from signature agreement ≥
-    ``threshold``), deduped across bands.
+    """Band the signatures, group by (band, band-hash) bucket, emit
+    candidate pairs, estimate Jaccard from signature agreement, keep pairs
+    with estimate ≥ ``threshold``, deduped across bands.
+
+    Shuffle shape: only slim ``(id, band, band_hash)`` rows ride the
+    bucket exchange — the full signature (the widest column) does NOT get
+    ×num_bands amplification.  Signatures are re-joined for the estimate
+    step via a broadcast of the (small — the LSH contract) candidate-pair
+    list, one grouped vectorized pass.  ``sig_ds`` is consumed twice and
+    is materialized here; at corpus scale signatures are a compact derived
+    artifact (num_perm × 8 B/doc) that the scale path would checkpoint to
+    parquet anyway.
 
     Output: (a, b, est_jaccard) with a < b, sorted ids.
     """
     import pandas as pd
+    import ray
+
+    sig_ds = sig_ds.materialize()
 
     def _explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
         sigs = batch["signature"].to_pylist()
-        rows_id, rows_band, rows_bh, rows_sig = [], [], [], []
+        rows_id, rows_band, rows_bh = [], [], []
         for i, sig in zip(ids, sigs):
             arr = np.asarray(sig, dtype=np.uint64)
             rows_per_band = len(arr) // num_bands
             for band in range(num_bands):
                 chunk = arr[band * rows_per_band:(band + 1) * rows_per_band]
-                bh = _hash64(chunk.tobytes())
                 rows_id.append(i)
                 rows_band.append(band)
-                rows_bh.append(bh)
-                rows_sig.append(sig)
+                rows_bh.append(_hash64(chunk.tobytes()))
         return pa.Table.from_pydict({
             id_col: pa.array(rows_id),
             "band": pa.array(rows_band, type=pa.int32()),
             "band_hash": pa.array(rows_bh, type=pa.uint64()),
-            "signature": pa.array(rows_sig, type=pa.list_(pa.uint64())),
         })
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
-        g = g.sort_values(id_col)
-        ids = g[id_col].tolist()
-        sigs = [np.asarray(s, dtype=np.uint64) for s in g["signature"]]
-        rows = {"a": [], "b": [], "est_jaccard": []}
+            return pd.DataFrame({"a": [], "b": []})
+        ids = sorted(g[id_col].tolist())
+        rows = {"a": [], "b": []}
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
-                est = float(np.mean(sigs[i] == sigs[j]))
-                if est >= threshold:
-                    rows["a"].append(ids[i])
-                    rows["b"].append(ids[j])
-                    rows["est_jaccard"].append(est)
+                rows["a"].append(ids[i])
+                rows["b"].append(ids[j])
         return pd.DataFrame(rows)
 
-    from ray.data.aggregate import Min
+    from ray.data.aggregate import Count
 
-    pairs = (sig_ds.map_batches(_explode, batch_format="pyarrow")
-             .groupby(["band", "band_hash"])
-             .map_groups(_pairs, batch_format="pandas"))
-    # pair-level dedup across bands via native aggregate (est_jaccard is
-    # identical for every copy of a pair, so Min is a pure dedup)
-    return pairs.groupby(["a", "b"]).aggregate(
-        Min("est_jaccard", alias_name="est_jaccard"))
+    cand = (sig_ds.map_batches(_explode, batch_format="pyarrow")
+            .groupby(["band", "band_hash"])
+            .map_groups(_bucket_pairs, batch_format="pandas")
+            .groupby(["a", "b"]).aggregate(Count(alias_name="n_bands")))
+
+    cand_df = cand.to_pandas()  # |candidates| ≪ corpus by the LSH contract
+    if cand_df.empty:
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame(
+            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
+             "est_jaccard": pd.Series([], dtype="float64")}))
+    doc_to_pairs: dict = {}
+    for idx, row in enumerate(cand_df.itertuples()):
+        doc_to_pairs.setdefault(row.a, []).append(idx)
+        doc_to_pairs.setdefault(row.b, []).append(idx)
+    ref = ray.put(doc_to_pairs)
+
+    def _emit(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        out_pid, out_id, out_sig = [], [], []
+        for i, sig in zip(batch[id_col].to_pylist(),
+                          batch["signature"].to_pylist()):
+            for pid in lookup.get(i, ()):
+                out_pid.append(pid)
+                out_id.append(i)
+                out_sig.append(sig)
+        return pa.Table.from_pydict({
+            "pair_id": pa.array(out_pid, type=pa.int64()),
+            id_col: pa.array(out_id),
+            "signature": pa.array(out_sig, type=pa.list_(pa.uint64()))})
+
+    def _estimate(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) != 2:
+            return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
+        g = g.sort_values(id_col)
+        s1, s2 = (np.asarray(s, dtype=np.uint64) for s in g["signature"])
+        est = float(np.mean(s1 == s2))
+        if est < threshold:
+            return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
+        ids = g[id_col].tolist()
+        return pd.DataFrame({"a": [ids[0]], "b": [ids[1]], "est_jaccard": [est]})
+
+    return (sig_ds.map_batches(_emit, batch_format="pyarrow")
+            .groupby("pair_id").map_groups(_estimate, batch_format="pandas"))
 
 
 def verify_jaccard_pairs(ds, pairs_ds, col: str = "text", id_col: str = "doc_id",
@@ -308,13 +350,44 @@ def simhash_candidate_pairs(sig_ds, id_col: str = "doc_id", max_hamming: int = 3
 # ---------------------------------------------------------------------------
 # Embedding near-dup
 
+def auto_num_planes(n: int, target_bucket_size: int = 256,
+                    lo: int = 4, hi: int = 24) -> int:
+    """Hyperplane count sized to the corpus: 2^planes buckets ≈
+    n / target_bucket_size, clamped to [lo, hi] — a fixed plane count
+    makes the per-bucket all-pairs cosine O((n/2^planes)²) blow up as the
+    corpus grows."""
+    import math
+
+    if n <= 1:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(max(1.0, n / target_bucket_size)))))
+
+
 def embedding_neardup_pairs(emb_ds, id_col: str = "vec_id", col: str = "embedding",
-                            threshold: float = 0.95, num_planes: int = 8,
-                            seed: int = 42, dim: int | None = None):
+                            threshold: float = 0.95,
+                            num_planes: int | str = "auto",
+                            seed: int = 42, dim: int | None = None,
+                            max_bucket_size: int = 4096,
+                            target_bucket_size: int = 256):
     """Cosine near-duplicate pairs via random-hyperplane LSH buckets; the
     in-bucket verify is one numpy matmul per bucket.  ``num_planes=0``
-    degenerates to a single bucket = exact brute force (baseline)."""
+    degenerates to a single bucket = exact brute force (baseline);
+    ``"auto"`` (default) scales the plane count with the corpus so the
+    expected bucket size stays near ``target_bucket_size``.
+
+    Bucket-size bound: a bucket larger than ``max_bucket_size`` (hot
+    bucket — e.g. an all-identical corpus, where no plane count helps) is
+    processed in id-sorted CHUNKS of ``max_bucket_size`` with one-vector
+    overlap, bounding the matmul at O(chunk²) per chunk.  Pairs that
+    straddle non-adjacent chunks are not emitted (documented recall
+    trade), but connectivity for downstream near-dup CLUSTERING is
+    preserved: identical/near-identical runs stay connected through the
+    overlap chain, so the keep-set is unaffected for exact-duplicate
+    floods."""
     import pandas as pd
+
+    if num_planes == "auto":
+        num_planes = auto_num_planes(emb_ds.count(), target_bucket_size)
 
     def _bucket(batch: pa.Table) -> pa.Table:
         mat = np.asarray(batch[col].to_pylist(), dtype=np.float64)
@@ -332,6 +405,14 @@ def embedding_neardup_pairs(emb_ds, id_col: str = "vec_id", col: str = "embeddin
             "bucket": pa.array(keys.astype(np.int64)),
             col: batch[col]})
 
+    def _chunk_pairs(ids: list, unit: np.ndarray) -> dict:
+        cos = unit @ unit.T
+        ai, bi = np.triu_indices(len(ids), k=1)
+        mask = cos[ai, bi] >= threshold
+        return {"a": [ids[i] for i in ai[mask]],
+                "b": [ids[i] for i in bi[mask]],
+                "cosine": list(cos[ai, bi][mask])}
+
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return pd.DataFrame({"a": [], "b": [], "cosine": []})
@@ -341,13 +422,18 @@ def embedding_neardup_pairs(emb_ds, id_col: str = "vec_id", col: str = "embeddin
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = mat / norms
-        cos = unit @ unit.T
-        ai, bi = np.triu_indices(len(ids), k=1)
-        mask = cos[ai, bi] >= threshold
-        return pd.DataFrame({
-            "a": [ids[i] for i in ai[mask]],
-            "b": [ids[i] for i in bi[mask]],
-            "cosine": cos[ai, bi][mask]})
+        if len(ids) <= max_bucket_size:
+            return pd.DataFrame(_chunk_pairs(ids, unit))
+        rows = {"a": [], "b": [], "cosine": []}
+        step = max_bucket_size - 1  # one-vector overlap chains the chunks
+        for start in range(0, len(ids) - 1, step):
+            end = min(start + max_bucket_size, len(ids))
+            part = _chunk_pairs(ids[start:end], unit[start:end])
+            for k in rows:
+                rows[k].extend(part[k])
+        df = pd.DataFrame(rows)
+        # the overlap row appears in two chunks → drop duplicate pairs
+        return df.drop_duplicates(["a", "b"])
 
     return (emb_ds.map_batches(_bucket, batch_format="pyarrow")
             .groupby("bucket").map_groups(_pairs, batch_format="pandas"))
@@ -356,11 +442,85 @@ def embedding_neardup_pairs(emb_ds, id_col: str = "vec_id", col: str = "embeddin
 # ---------------------------------------------------------------------------
 # clustering / keep-list
 
+def cluster_pairs_distributed(pairs_ds, a_col: str = "a", b_col: str = "b",
+                              num_buckets: int = 32, max_rounds: int = 100):
+    """Connected components over the near-dup pair graph WITHOUT collecting
+    pairs to the driver — the scale path when the pair list outgrows
+    ``cluster_pairs``'s driver union-find.
+
+    Iterative min-label propagation: every directed edge proposes
+    ``label(src)`` to ``dst`` each round; labels reduce via a native
+    grouped Min (no per-node UDF); the edge⋈label join is an explicit
+    bucketed hash join (union + groupby(bucket) + one pandas merge per
+    bucket).  Labels only decrease, so the label SUM is a monotone
+    convergence witness — the loop stops the first round it is unchanged
+    (≤ component diameter rounds).  Returns a Dataset of (node, label)
+    with label = the component's minimum id.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Min, Sum
+
+    def _directed(batch: pa.Table) -> pa.Table:
+        a = batch[a_col].combine_chunks().cast(pa.int64())
+        b = batch[b_col].combine_chunks().cast(pa.int64())
+        return pa.table({"src": pa.concat_arrays([a, b]),
+                         "dst": pa.concat_arrays([b, a])})
+
+    edges = pairs_ds.map_batches(_directed, batch_format="pyarrow").materialize()
+    labels = (edges.map_batches(
+        lambda b: pa.table({"node": b["src"], "label": b["src"]}),
+        batch_format="pyarrow")
+        .groupby("node").aggregate(Min("label", alias_name="label"))
+        .materialize())
+
+    def _bucketize(side: str, kcol: str, vcol: str):
+        def fn(b: pa.Table) -> pa.Table:
+            k = b[kcol].combine_chunks().cast(pa.int64())
+            bucket = pc.cast(
+                pc.bit_wise_and(k, pa.scalar(num_buckets - 1)), pa.int32())
+            return pa.table({
+                "bucket": bucket,
+                "side": pa.array([side] * len(b), type=pa.string()),
+                "k": k, "v": b[vcol].combine_chunks().cast(pa.int64())})
+        return fn
+
+    def _join(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["side"] == "e"].reindex(columns=["k", "v"])
+        lab = g[g["side"] == "l"].reindex(columns=["k", "v"])
+        if e.empty or lab.empty:
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                 "label": pd.Series([], dtype="int64")})
+        m = e.merge(lab, on="k", suffixes=("_dst", "_lab"))
+        return pd.DataFrame({"node": m["v_dst"], "label": m["v_lab"]})
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        marked_e = edges.map_batches(_bucketize("e", "src", "dst"),
+                                     batch_format="pyarrow")
+        marked_l = labels.map_batches(_bucketize("l", "node", "label"),
+                                      batch_format="pyarrow")
+        msgs = (marked_e.union(marked_l).groupby("bucket")
+                .map_groups(_join, batch_format="pandas")
+                # normalize to arrow blocks: the union with `labels` (arrow)
+                # must not mix block types
+                .map_batches(lambda b: b, batch_format="pyarrow"))
+        # the repartition pins the label block count per round — without it
+        # each union+aggregate doubles the block count and round time grows
+        # geometrically (measured: 0.5 s/round flat vs 65 s by round 8)
+        labels = (msgs.union(labels).groupby("node")
+                  .aggregate(Min("label", alias_name="label"))
+                  .repartition(num_buckets).materialize())
+        s = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels
+
+
 def cluster_pairs(pairs: list[tuple]) -> dict:
     """Union-find over the (small) near-dup pair list → id → cluster root.
     Driver-side by design: |pairs| ≪ corpus (LSH contract).  At a scale
-    where pairs don't fit, swap for iterative min-label propagation with
-    groupby rounds."""
+    where pairs don't fit, use ``cluster_pairs_distributed``."""
     parent: dict = {}
 
     def find(x):

@@ -43,7 +43,13 @@ import zlib
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .linker import build_iri_dictionary, link_triples, links_as_triples
+from .linker import (
+    build_iri_dictionary,
+    build_iri_pairs,
+    link_triples,
+    link_triples_bucketed,
+    links_as_triples,
+)
 from .stages import (
     add_sha256,
     convert_batches,
@@ -93,40 +99,45 @@ def _input_fingerprint(ds) -> dict[int, str]:
     ``sha256(repo|path|commit)`` digests plus a file count.  Uses the
     commit id as the content identity (immutable in a code corpus), so the
     fingerprint pass never reads the ``content`` column — column pruning
-    makes resume-detection nearly free even at corpus scale."""
+    makes resume-detection nearly free even at corpus scale.
+
+    Fully distributed: each batch reduces to at most ``num_shards``
+    partial (shard, xor, count) rows (XOR is associative/commutative), the
+    grouped reduce sees one group per SHARD (bounded by configuration, not
+    corpus size), and only ``num_shards`` rows reach the driver."""
     import hashlib
 
-    acc: dict[int, int] = {}
-    counts: dict[int, int] = {}
-    for batch in (ds.select_columns(["shard", "repo", "path", "commit"])
-                  .iter_batches(batch_size=65536, batch_format="pyarrow")):
+    import pandas as pd
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        acc: dict[int, int] = {}
+        counts: dict[int, int] = {}
         for s, r, p, h in zip(batch["shard"].to_pylist(), batch["repo"].to_pylist(),
                               batch["path"].to_pylist(),
                               batch["commit"].to_pylist()):
             d = int(hashlib.sha256(f"{r}|{p}|{h}".encode()).hexdigest()[:16], 16)
             acc[s] = acc.get(s, 0) ^ d
             counts[s] = counts.get(s, 0) + 1
-    return {s: f"{counts[s]}:{acc[s]:016x}" for s in acc}
+        shards = sorted(acc)
+        return pa.table({
+            "shard": pa.array(shards, type=pa.int32()),
+            "xor": pa.array([acc[s] for s in shards], type=pa.uint64()),
+            "count": pa.array([counts[s] for s in shards], type=pa.int64())})
 
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        x = 0
+        for v in g["xor"]:
+            x ^= int(v)
+        return pd.DataFrame({"shard": [int(g["shard"].iloc[0])],
+                             "xor": [x], "count": [int(g["count"].sum())]})
 
-def _fingerprint_table(tbl: pa.Table, num_shards: int) -> dict[int, str]:
-    """Same fingerprint as ``_input_fingerprint`` over an in-memory slim
-    table (applies the same CSVW-relevance filter as filter_candidates)."""
-    import hashlib
-    import posixpath
-
-    acc: dict[int, int] = {}
-    counts: dict[int, int] = {}
-    for r, p, h, lang in zip(tbl["repo"].to_pylist(), tbl["path"].to_pylist(),
-                             tbl["commit"].to_pylist(), tbl["lang"].to_pylist()):
-        if not (p.endswith(".csv") or p.endswith(".json")) \
-                or lang not in ("csv", "json"):
-            continue
-        s = shard_of(r, posixpath.dirname(p), num_shards)
-        d = int(hashlib.sha256(f"{r}|{p}|{h}".encode()).hexdigest()[:16], 16)
-        acc[s] = acc.get(s, 0) ^ d
-        counts[s] = counts.get(s, 0) + 1
-    return {s: f"{counts[s]}:{acc[s]:016x}" for s in acc}
+    parts = (ds.select_columns(["shard", "repo", "path", "commit"])
+             .map_batches(_partial, batch_format="pyarrow")
+             .groupby("shard").map_groups(_reduce, batch_format="pandas"))
+    out: dict[int, str] = {}
+    for row in parts.take_all():
+        out[int(row["shard"])] = f"{int(row['count'])}:{int(row['xor']):016x}"
+    return out
 
 
 class PipelineReport(dict):
@@ -137,7 +148,8 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
                     num_shards: int = 8, shards_per_wave: int | None = None,
                     pairing_salt: int = 1, resume: bool = True,
                     with_linking: bool = False, rebalance: bool = True,
-                    encode_iris: bool = False) -> PipelineReport:
+                    encode_iris: bool = False,
+                    link_max_entries: int = 1_000_000) -> PipelineReport:
     """Run the flagship corpus→triples pipeline with checkpoint/resume.
 
     ``source``: parquet path / pyarrow.Table / Dataset of corpus rows.
@@ -165,19 +177,15 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
     base = _add_shard(base, num_shards)
 
     # resume detection reads only (repo, path, commit, lang) — content is
-    # pruned at the parquet read.  For a plain parquet source this is a
-    # driver-side pyarrow read (no Ray execution round-trip: the columns
-    # are a few bytes per file and the hash loop is trivial).
-    if isinstance(source, str):
-        import pyarrow.dataset as pads
-
-        slim_tbl = pads.dataset(source, format="parquet").to_table(
-            columns=["repo", "path", "commit", "lang"])
-        fingerprints = _fingerprint_table(slim_tbl, num_shards)
+    # pruned at the parquet read; the per-shard XOR reduce keeps the
+    # driver's share at num_shards rows regardless of corpus size.
+    slim_cols = ["repo", "path", "commit", "lang"]
+    if isinstance(source, pa.Table):
+        slim = scan_corpus(source.select(slim_cols))
     else:
-        slim = scan_corpus(source, columns=["repo", "path", "commit", "lang"])
-        fingerprints = _input_fingerprint(
-            _add_shard(filter_candidates(slim), num_shards))
+        slim = scan_corpus(source, columns=slim_cols).select_columns(slim_cols)
+    fingerprints = _input_fingerprint(
+        _add_shard(filter_candidates(slim), num_shards))
     _mark("fingerprint")
 
     # --- resume bookkeeping over wave directories -----------------------
@@ -303,8 +311,15 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
         # links).  Both passes re-read the already-checkpointed wave
         # parquet, so nothing is recomputed; duplicate link triples minted
         # from duplicate source triples collapse in the dedup.
-        dict_ref = ray.put(build_iri_dictionary(triples))
-        triples = links_as_triples(link_triples(triples, dict_ref))
+        dictionary = build_iri_dictionary(triples, max_entries=link_max_entries)
+        if dictionary is None:
+            # dictionary too large for a worker-heap broadcast → the
+            # hash-partitioned bucket-join fallback (same link output)
+            link_trips = link_triples_bucketed(triples, build_iri_pairs(triples))
+            triples = triples.union(link_trips)
+        else:
+            dict_ref = ray.put(dictionary)
+            triples = links_as_triples(link_triples(triples, dict_ref))
 
     # dedup_triples fuses G6 dedup with the G7 (subj, pred, obj) sort:
     # one exchange serves both

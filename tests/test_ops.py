@@ -215,3 +215,62 @@ def test_audio_featurizer(ray_session):
     out = extract_audio_features(_media(ray_session), n_bands=8,
                                  concurrency=1).to_pandas()
     assert all(len(f) == 8 for f in out.features)
+
+
+def test_embedding_neardup_hot_bucket_cap(ray_session):
+    """Pathological all-identical corpus: every vector lands in ONE bucket
+    regardless of plane count.  The chunked cap bounds the per-group
+    matmul while the one-vector overlap keeps the run connected, so the
+    clustering keep-set is identical to the uncapped answer."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from csvweb_ray.ops.dedup import dedup_keep_ids, embedding_neardup_pairs
+
+    n = 60
+    vec = [1.0, 2.0, 3.0, 4.0]
+    tbl = pa.table({"vec_id": pa.array(range(n), type=pa.int64()),
+                    "embedding": pa.array([vec] * n, type=pa.list_(pa.float64()))})
+    pairs = embedding_neardup_pairs(
+        rd.from_arrow(tbl), threshold=0.99, num_planes="auto",
+        max_bucket_size=16).to_pandas()
+    # capped: far fewer than n*(n-1)/2 pairs, but the graph stays connected
+    assert 0 < len(pairs) < n * (n - 1) // 2
+    keep = dedup_keep_ids(range(n), list(zip(pairs.a, pairs.b)))
+    assert keep == {0}
+
+
+def test_auto_num_planes_scales():
+    from csvweb_ray.ops.dedup import auto_num_planes
+
+    assert auto_num_planes(0) == 4
+    assert auto_num_planes(1000, target_bucket_size=256) == 4
+    assert auto_num_planes(1_000_000, target_bucket_size=256) == 12
+    assert auto_num_planes(10**12, target_bucket_size=256) == 24
+
+
+def test_cluster_pairs_distributed_matches_union_find(ray_session):
+    """Min-label propagation over Ray (bucketed edge⋈label join + native
+    Min) must agree with the driver union-find on chains, cliques and
+    singleton-free random graphs."""
+    import random
+
+    import pandas as pd
+    import ray.data as rd
+
+    from csvweb_ray.ops.dedup import cluster_pairs, cluster_pairs_distributed
+
+    rng = random.Random(7)
+    pairs = [(i, i + 1) for i in range(10, 20)]          # a chain
+    pairs += [(100, 101), (101, 102), (100, 102)]        # a clique
+    pairs += [(rng.randrange(200, 240), rng.randrange(200, 240))
+              for _ in range(30)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    expected = cluster_pairs(list(pairs))
+    roots = {k: v for k, v in expected.items()}
+
+    ds = rd.from_pandas(pd.DataFrame(pairs, columns=["a", "b"]))
+    got = {int(r["node"]): int(r["label"])
+           for r in cluster_pairs_distributed(ds, num_buckets=8).take_all()}
+    assert got == roots

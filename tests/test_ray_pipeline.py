@@ -362,3 +362,34 @@ def test_zero_triple_corpus_with_linking(ray_session, tmp_path):
     assert os.path.isdir(final_dir)
     files = [f for f in os.listdir(final_dir) if f.endswith(".parquet")]
     assert (rd.read_parquet(final_dir).count() if files else 0) == 0
+
+
+def test_linking_bucketed_fallback_matches_broadcast(ray_session, tmp_path):
+    """Forcing the dictionary over the broadcast cap must switch to the
+    hash-partitioned bucket join and produce IDENTICAL final output."""
+    import ray.data as rd
+
+    csv_text = ("id,name\n1,alpha beta\n2,gamma\n3,beta  ALPHA\n"
+                "4,delta\n5,unrelated text\n")
+    meta = {
+        "@context": "http://www.w3.org/ns/csvw", "url": "t.csv",
+        "tableSchema": {
+            "aboutUrl": "entity/{name}",
+            "columns": [{"name": "id", "datatype": "integer"},
+                        {"name": "name"}]},
+    }
+    rows = [
+        {"repo": "r/lb", "path": "t.csv", "commit": "c" * 40, "lang": "csv",
+         "content": csv_text},
+        {"repo": "r/lb", "path": "t.csv-metadata.json", "commit": "c" * 40,
+         "lang": "json", "content": json.dumps(meta)},
+    ]
+    out_a, _ = _run(ray_session, tmp_path / "a", rows, num_shards=1,
+                    with_linking=True)
+    out_b, _ = _run(ray_session, tmp_path / "b", rows, num_shards=1,
+                    with_linking=True, link_max_entries=1)
+    a = rd.read_parquet(os.path.join(out_a, "final")).to_pandas()
+    b = rd.read_parquet(os.path.join(out_b, "final")).to_pandas()
+    assert sorted(a.nt) == sorted(b.nt)
+    links = a[a.pred == "http://corpus.invalid/vocab#linksTo"]
+    assert len(links) >= 3  # exact ("alpha beta", "gamma") + token-set hit
