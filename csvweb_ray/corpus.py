@@ -256,8 +256,24 @@ def synth_corpus_rows(n_files: int = 64, rows_per_file: int = 200, seed: int = 4
     return rows
 
 
+#: Optional sidecar columns modeling the reference's non-path metadata
+#: discovery channels (``Rdf/Converter.cs:125-207``) in a Parquet corpus:
+#: ``user_metadata`` = repo-relative path of user-supplied metadata (the
+#: ``ConvertWithLocalMetadata`` channel, highest precedence, conversion
+#: rooted at the metadata document); ``link_header`` = raw HTTP ``Link``
+#: header value associated with the CSV (``rel="describedby"``);
+#: ``convert_root`` = mark on a metadata JSON row making it a conversion
+#: root even with no CSV row naming it (the "source IS the metadata"
+#: entry point, ``Rdf/Converter.cs:109-112``).
+SIDECAR_FIELDS = ["user_metadata", "link_header", "convert_root"]
+
+
 def rows_to_table(rows: list[dict]) -> pa.Table:
-    return pa.Table.from_pylist(rows, schema=CORPUS_SCHEMA)
+    schema = CORPUS_SCHEMA
+    extra = [f for f in SIDECAR_FIELDS if any(r.get(f) is not None for r in rows)]
+    for f in extra:
+        schema = schema.append(pa.field(f, pa.string()))
+    return pa.Table.from_pylist(rows, schema=schema)
 
 
 def write_corpus(rows: list[dict], out_path: str) -> str:

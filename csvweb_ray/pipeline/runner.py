@@ -51,6 +51,7 @@ from .linker import (
     links_as_triples,
 )
 from .stages import (
+    WELLKNOWN_PATH,
     add_sha256,
     convert_batches,
     dedup_triples,
@@ -60,6 +61,28 @@ from .stages import (
     scan_corpus,
     split_convert_output,
 )
+
+
+def _collect_wellknown(source) -> dict[str, str]:
+    """{repo → template text} for repos carrying a root ``.well-known/csvm``
+    location-template list.  The file is rare and tiny (a few template
+    lines), so a driver dict broadcast into the pairing stage is the right
+    shape; the parquet path uses a pushed-down row filter so the scan never
+    touches other rows' ``content``."""
+    if isinstance(source, str):
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(source, format="parquet").to_table(
+            columns=["repo", "content"],
+            filter=pads.field("path") == WELLKNOWN_PATH)
+        return dict(zip(t["repo"].to_pylist(), t["content"].to_pylist()))
+
+    def _f(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["path"], WELLKNOWN_PATH)) \
+            .select(["repo", "content"])
+
+    rows = scan_corpus(source).map_batches(_f, batch_format="pyarrow").take_all()
+    return {r["repo"]: r["content"] for r in rows}
 
 __all__ = ["run_kg_pipeline", "shard_of", "PipelineReport"]
 
@@ -72,9 +95,16 @@ def _add_shard(ds, num_shards: int):
     import posixpath
 
     def _fn(batch: pa.Table) -> pa.Table:
-        shards = [shard_of(r, posixpath.dirname(p), num_shards)
-                  for r, p in zip(batch["repo"].to_pylist(),
-                                  batch["path"].to_pylist())]
+        ums = (batch["user_metadata"].to_pylist()
+               if "user_metadata" in batch.column_names
+               else [None] * batch.num_rows)
+        # a CSV row routed to a metadata-rooted conversion shards by the
+        # METADATA's directory, so the whole conversion (metadata + every
+        # CSV it references) lands in one wave
+        shards = [shard_of(r, posixpath.dirname((u or p).split("?", 1)[0]),
+                           num_shards)
+                  for r, p, u in zip(batch["repo"].to_pylist(),
+                                     batch["path"].to_pylist(), ums)]
         return batch.append_column("shard", pa.array(shards, type=pa.int32()))
 
     return ds.map_batches(_fn, batch_format="pyarrow")
@@ -179,11 +209,21 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
     # resume detection reads only (repo, path, commit, lang) — content is
     # pruned at the parquet read; the per-shard XOR reduce keeps the
     # driver's share at num_shards rows regardless of corpus size.
-    slim_cols = ["repo", "path", "commit", "lang"]
+    # user_metadata participates in shard routing, so the slim scan must
+    # carry it when the corpus has the sidecar column
+    want = ["repo", "path", "commit", "lang", "user_metadata"]
     if isinstance(source, pa.Table):
+        slim_cols = [c for c in want if c in source.column_names]
         slim = scan_corpus(source.select(slim_cols))
-    else:
+    elif isinstance(source, str):
+        import pyarrow.dataset as pads
+
+        names = pads.dataset(source, format="parquet").schema.names
+        slim_cols = [c for c in want if c in names]
         slim = scan_corpus(source, columns=slim_cols).select_columns(slim_cols)
+    else:
+        slim_cols = [c for c in want if c in source.schema().names]
+        slim = source.select_columns(slim_cols)
     fingerprints = _input_fingerprint(
         _add_shard(filter_candidates(slim), num_shards))
     _mark("fingerprint")
@@ -224,6 +264,7 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
     pending = [s for s in sorted(fingerprints)
                if str(s) not in manifest["shards"]]
 
+    wellknown = _collect_wellknown(source) if pending else {}
     wave_size = shards_per_wave or max(1, len(pending))
     for i in range(0, len(pending), wave_size):
         wave = wave_list = pending[i:i + wave_size]
@@ -236,7 +277,7 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
             lambda b, ws=tuple(sorted(wave_set)): b.filter(
                 pc.is_in(b["shard"], value_set=pa.array(list(ws), type=pa.int32()))),
             batch_format="pyarrow")
-        paired = pair_files(ds, pairing_salt=pairing_salt)
+        paired = pair_files(ds, pairing_salt=pairing_salt, wellknown=wellknown)
         if rebalance:
             # a monorepo directory emerges from the pairing groupby as ONE
             # block; spread its files across the cluster before the

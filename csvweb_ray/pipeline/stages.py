@@ -85,14 +85,18 @@ def filter_candidates(ds):
     """G1: keep only CSVW-relevant files.  Vectorized Arrow predicate
     (``pc.ends_with``) inside ``map_batches`` — cheaper than per-row
     ``ds.filter`` (reference analogue: MIME dispatch,
-    ``Rdf/Converter.cs:95-112``)."""
+    ``Rdf/Converter.cs:95-112``).  Also kept: repo-root
+    ``.well-known/csvm`` template lists (S3 discovery channel) and CSV
+    paths carrying a query string (RFC 7111 file addressing)."""
 
     def _keep(batch: pa.Table) -> pa.Table:
         path = batch["path"]
         mask = pc.or_(pc.ends_with(path, pattern=".csv"),
                       pc.ends_with(path, pattern=".json"))
+        mask = pc.or_(mask, pc.match_substring(path, ".csv?"))
         mask = pc.and_(mask, pc.is_in(batch["lang"],
                                       value_set=pa.array(["csv", "json"])))
+        mask = pc.or_(mask, pc.equal(path, WELLKNOWN_PATH))
         return batch.filter(mask)
 
     return ds.map_batches(_keep, batch_format="pyarrow")
@@ -118,17 +122,82 @@ def _dirname(path: str) -> str:
     return d
 
 
-def pair_files(ds, pairing_salt: int = 1):
+#: Repo-root path of the site-wide metadata-location template list
+#: (the reference resolves ``/.well-known/csvm`` against the table URL,
+#: ``Rdf/Converter.cs:152-170``; in a Parquet corpus the host root is the
+#: repo root).
+WELLKNOWN_PATH = ".well-known/csvm"
+
+#: Spec default location templates when no ``/.well-known/csvm`` exists.
+DEFAULT_TEMPLATES = ("{+url}-metadata.json", "csv-metadata.json")
+
+#: Pairing-group namespace for metadata-rooted conversions (user-supplied
+#: metadata, possibly multi-table): the group key is the metadata
+#: document's directory, so the metadata and its sibling schema JSONs
+#: co-locate with every CSV that names it.
+_META_GROUP = "\x01m:"
+
+
+def parse_link_header(link_header: str) -> str | None:
+    """Target of a ``<target>; rel="describedby"`` Link value (reference
+    ``Rdf/Converter.cs:166-189``)."""
+    parts = [p.replace(" ", "") for p in link_header.split(";")]
+    interesting = any(
+        p.lower() == 'rel="describedby"'
+        or p.lower().startswith('type="application/csvm+json')
+        or p.lower().startswith('type="application/ld+json')
+        for p in parts)
+    if not interesting:
+        return None
+    for p in parts:
+        if p.startswith("<") and p.endswith(">"):
+            return p[1:-1]
+    return None
+
+
+def _wk_candidates(path: str, templates) -> list[str]:
+    """Expand location templates against a repo-relative CSV path.  Only
+    same-directory results are reachable in the directory-grouped pairing
+    (documented partitioning assumption; cross-directory metadata must use
+    the ``user_metadata`` sidecar channel instead)."""
+    stripped = path.split("?", 1)[0]
+    d = _dirname(stripped)
+    out = []
+    for t in templates:
+        t = t.strip()
+        if not t or t.startswith("#"):
+            continue
+        if "{+url}" in t:
+            cand = t.replace("{+url}", path)
+        else:
+            cand = posixpath.join(d, t) if d else t
+        if _dirname(cand.split("?", 1)[0]) == d:
+            out.append(cand)
+    return out
+
+
+def pair_files(ds, pairing_salt: int = 1, wellknown: dict | None = None):
     """G3: CSV ↔ metadata pairing as a grouped join on ``(repo, dir)``.
 
     Emulates the reference's metadata-location precedence
-    (``Rdf/Converter.cs:141-207``) by path convention inside each
-    directory: ``{csv}-metadata.json`` first, then same-dir
-    ``csv-metadata.json`` (the well-known/Link steps are HTTP-only and do
-    not exist in a Parquet corpus).  The *reference check* — discovered
-    metadata must explicitly reference the CSV, else it is ignored with a
-    warning (W3C test117) — happens in the convert stage where the JSON is
-    parsed anyway.
+    (``Rdf/Converter.cs:125-207``) inside each directory group:
+
+    1. ``user_metadata`` sidecar column (the ConvertWithLocalMetadata
+       channel): the conversion is ROOTED at the named metadata document —
+       the CSV rows route to the metadata's directory group and one
+       conversion row per metadata document is emitted with all its CSVs
+       attached (this is also how multi-table metadata converts exactly
+       once).
+    2. ``link_header`` sidecar column: ``rel="describedby"`` target
+       resolved against the CSV URL, tried before the location templates.
+    3. Location templates from the repo's ``.well-known/csvm`` file
+       (broadcast driver-side dict — the file is tiny and rare) or the
+       spec defaults ``{+url}-metadata.json`` / ``csv-metadata.json``.
+
+    The *reference check* — discovered metadata must explicitly reference
+    the CSV, else it is ignored with a warning (W3C test117) — happens in
+    the convert stage where the JSON is parsed anyway.  User-supplied
+    metadata is exempt (reference ``Rdf/Converter.cs:125-139``).
 
     ``pairing_salt > 1``: every JSON row is replicated into each of the
     ``salt`` buckets and CSV rows hash into one bucket, so one directory
@@ -138,61 +207,140 @@ def pair_files(ds, pairing_salt: int = 1):
     """
     import pandas as pd
 
-    def _prep(batch: pa.Table) -> pa.Table:
-        import numpy as np
+    wk = wellknown or {}
 
+    def _prep(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        for c in ("user_metadata", "link_header", "convert_root"):
+            if c not in batch.column_names:
+                batch = batch.append_column(c, pa.nulls(n, type=pa.string()))
         paths = batch["path"].to_pylist()
-        dirs = [_dirname(p) for p in paths]
-        out = batch.append_column("dir", pa.array(dirs, type=pa.string()))
-        if pairing_salt <= 1:
-            return out.append_column("salt", pa.array([0] * len(paths), type=pa.int32()))
-        # replicate JSON rows into every salt bucket; hash CSVs into one.
-        # One take() builds the output — no per-bucket filter passes.
-        indices, salts = [], []
-        for i, p in enumerate(paths):
-            if p.endswith(".json"):
-                indices.extend([i] * pairing_salt)
-                salts.extend(range(pairing_salt))
-            else:
+        umd = batch["user_metadata"].to_pylist()
+        indices, dirs, salts = [], [], []
+        for i, (p, u) in enumerate(zip(paths, umd)):
+            stripped = p.split("?", 1)[0]
+            d = _dirname(stripped)
+            if stripped.endswith(".json"):
+                # json side: replicate into every salt bucket of its dir
+                # group + once into the dir's metadata-root group
+                for s in (range(pairing_salt) if pairing_salt > 1 else (0,)):
+                    indices.append(i)
+                    dirs.append(d)
+                    salts.append(s)
                 indices.append(i)
-                salts.append(int(hashlib.md5(p.encode()).hexdigest(), 16)
-                             % pairing_salt)
-        taken = out.take(pa.array(indices, type=pa.int64()))
+                dirs.append(_META_GROUP + d)
+                salts.append(0)
+                if u and _dirname(u) != d:
+                    # a schema document referenced from a metadata root in
+                    # ANOTHER directory (tableSchema-by-URL, M3): carry it
+                    # into that root's group too
+                    indices.append(i)
+                    dirs.append(_META_GROUP + _dirname(u))
+                    salts.append(0)
+            elif u:
+                indices.append(i)
+                dirs.append(_META_GROUP + _dirname(u))
+                salts.append(0)
+            else:
+                s = (int(hashlib.md5(p.encode()).hexdigest(), 16)
+                     % pairing_salt) if pairing_salt > 1 else 0
+                indices.append(i)
+                dirs.append(d)
+                salts.append(s)
+        taken = batch.take(pa.array(indices, type=pa.int64()))
+        taken = taken.append_column("dir", pa.array(dirs, type=pa.string()))
         return taken.append_column("salt", pa.array(salts, type=pa.int32()))
 
+    _OUT_COLS = ["repo", "dir", "csv_path", "commit", "content_sha256",
+                 "csv_text", "candidates", "json_files", "user_metadata",
+                 "attached_csvs", "shard"]
+
     def _pair(group: pd.DataFrame) -> pd.DataFrame:
-        rows = {"repo": [], "dir": [], "csv_path": [], "commit": [],
-                "content_sha256": [], "csv_text": [], "candidates": [],
-                "json_files": [], "shard": []}
+        rows = {c: [] for c in _OUT_COLS}
         has_shard = "shard" in group.columns
-        jsons = {r.path: r.content for r in group.itertuples() if r.path.endswith(".json")}
-        # a candidate's text may reference sibling JSONs (tableSchema by
-        # URL, M3) — include a sibling iff some candidate names its
-        # basename, instead of shipping the whole directory per CSV row
-        # (a monorepo dir can hold thousands of files)
+
+        def emit(r, csv_path, commit, sha, csv_text, cands, carried,
+                 user_md, attached):
+            rows["repo"].append(r.repo)
+            rows["dir"].append(r.dir)
+            rows["csv_path"].append(csv_path)
+            rows["commit"].append(commit)
+            rows["content_sha256"].append(sha)
+            rows["csv_text"].append(csv_text)
+            rows["candidates"].append(json.dumps(cands))
+            rows["json_files"].append(json.dumps(carried))
+            rows["user_metadata"].append(user_md)
+            rows["attached_csvs"].append(json.dumps(attached) if attached else None)
+            rows["shard"].append(int(r.shard) if has_shard else -1)
+
+        jrows = {r.path: r for r in group.itertuples()
+                 if r.path.split("?", 1)[0].endswith(".json")}
+        jsons = {p: r.content for p, r in jrows.items()}
+        group_dir = group["dir"].iloc[0] if len(group) else ""
+
+        if group_dir.startswith(_META_GROUP):
+            # metadata-rooted conversions: one row per metadata document —
+            # named by a CSV row's user_metadata, or self-marked via
+            # convert_root (a metadata doc with no CSV rows, e.g. a
+            # negative case whose table urls are unresolvable)
+            csvs_by_meta: dict[str, list] = {}
+            for r in group.itertuples():
+                p = r.path.split("?", 1)[0]
+                if p.endswith(".json") or not r.user_metadata:
+                    continue
+                csvs_by_meta.setdefault(r.user_metadata, []).append(r)
+            for p, jr in jrows.items():
+                if getattr(jr, "convert_root", None):
+                    csvs_by_meta.setdefault(p, [])
+            for meta_path in sorted(csvs_by_meta):
+                csv_rows = sorted(csvs_by_meta[meta_path], key=lambda r: r.path)
+                mrow = jrows.get(meta_path)
+                base = csv_rows[0] if csv_rows else mrow
+                if base is None:
+                    continue
+                attached = {r.path: r.content for r in csv_rows}
+                emit(base, meta_path,
+                     mrow.commit if mrow else base.commit,
+                     mrow.content_sha256 if mrow else base.content_sha256,
+                     None, [meta_path], jsons, meta_path, attached)
+            return pd.DataFrame(rows)
+
         for r in group.itertuples():
-            if not r.path.endswith(".csv"):
+            p_stripped = r.path.split("?", 1)[0]
+            if p_stripped.endswith(".json") or not (
+                    p_stripped.endswith(".csv") or "?" in r.path):
                 continue
             cands = []
-            for cand in (r.path + "-metadata.json",
-                         posixpath.join(_dirname(r.path), "csv-metadata.json")
-                         if _dirname(r.path) else "csv-metadata.json"):
-                if cand in jsons:
+            link_hdr = getattr(r, "link_header", None)
+            if isinstance(link_hdr, str) and link_hdr:
+                target = parse_link_header(link_hdr)
+                if target:
+                    from ..urifns import resolve_uri
+
+                    resolved = resolve_uri(
+                        f"{REPO_BASE}{r.repo}/{r.path}", target)
+                    prefix = f"{REPO_BASE}{r.repo}/"
+                    if resolved.startswith(prefix):
+                        rel = resolved[len(prefix):].split("#", 1)[0]
+                        if rel in jsons:
+                            cands.append(rel)
+            templates = wk.get(r.repo)
+            templates = templates.splitlines() if templates \
+                else DEFAULT_TEMPLATES
+            for cand in _wk_candidates(r.path, templates):
+                if cand in jsons and cand not in cands:
                     cands.append(cand)
             carried = {c: jsons[c] for c in cands}
+            # a candidate's text may reference sibling JSONs (tableSchema
+            # by URL, M3) — include a sibling iff some candidate names its
+            # basename, instead of shipping the whole directory per CSV
+            # row (a monorepo dir can hold thousands of files)
             cand_text = "\n".join(carried.values())
             for sib, text in jsons.items():
                 if sib not in carried and posixpath.basename(sib) in cand_text:
                     carried[sib] = text
-            rows["repo"].append(r.repo)
-            rows["dir"].append(r.dir)
-            rows["csv_path"].append(r.path)
-            rows["commit"].append(r.commit)
-            rows["content_sha256"].append(r.content_sha256)
-            rows["csv_text"].append(r.content)
-            rows["candidates"].append(json.dumps(cands))
-            rows["json_files"].append(json.dumps(carried))
-            rows["shard"].append(int(r.shard) if has_shard else -1)
+            emit(r, r.path, r.commit, r.content_sha256, r.content,
+                 cands, carried, None, None)
         return pd.DataFrame(rows)
 
     prepped = ds.map_batches(_prep, batch_format="pyarrow")
@@ -202,11 +350,19 @@ def pair_files(ds, pairing_salt: int = 1):
 
 def _convert_one(repo: str, csv_path: str, commit: str, sha: str, csv_text: str,
                  candidates: list[str], json_files: dict, mode: str,
-                 encode_iris: bool = False):
-    """Convert one corpus CSV file → (triples, filemeta).  Pure; called per
+                 encode_iris: bool = False, user_metadata: str | None = None,
+                 attached_csvs: dict | None = None):
+    """Convert one conversion root → (triples, filemeta).  Pure; called per
     row inside the convert UDF.  Reference: the whole of
     ``Rdf/Converter.cs:227-471`` plus the discovery reference-check at
-    ``:141-207``."""
+    ``:141-207``.
+
+    Two root kinds: a CSV file (path-convention / Link discovery, single
+    table), or — when ``user_metadata`` is set — a METADATA document (the
+    ``ConvertWithLocalMetadata`` channel, ``Rdf/Converter.cs:125-139``):
+    every table in the document converts in one pass against the attached
+    CSV contents, which is what makes multi-table groups (and their
+    standard-mode TableGroup provenance) convert exactly once."""
     repo_root = f"{REPO_BASE}{repo}/"
     root_url = repo_root + csv_path
 
@@ -220,40 +376,66 @@ def _convert_one(repo: str, csv_path: str, commit: str, sha: str, csv_text: str,
     errors: list[str] = []
     group = None
     meta_path = None
-    for cand in candidates:
-        text = json_files.get(cand)
+
+    if user_metadata is not None:
+        text = json_files.get(user_metadata)
         if text is None:
-            continue
+            return [], user_metadata, 0, \
+                [f"user metadata {user_metadata} not found in corpus"]
         try:
-            parsed = parse_metadata(text, repo_root + cand, resolver=resolver,
-                                    encode_templates=encode_iris)
-        except Exception as ex:  # noqa: BLE001 - any parse failure (incl.
-            # malformed JSON) is an M15 error-channel event, never fatal
-            errors.append(f"metadata {cand}: {type(ex).__name__}: {ex}")
-            continue
-        if any(t.url == root_url for t in parsed.tables):
-            group, meta_path = parsed, cand
-            break
-        errors.append(f"metadata {cand} does not reference {csv_path}; ignored")
-    if group is None:
-        # bare table group, header-inferred all-string schema
-        # (``Rdf/Converter.cs:105-107``)
-        group = CompiledTableGroup()
-        table = CompiledTable(url=root_url)
-        table.columns_declared = False
-        group.tables.append(table)
+            group = parse_metadata(text, repo_root + user_metadata,
+                                   resolver=resolver,
+                                   encode_templates=encode_iris)
+        except Exception as ex:  # noqa: BLE001 - M15: fatal for this root
+            return [], user_metadata, 0, \
+                [f"metadata {user_metadata}: {type(ex).__name__}: {ex}"]
+        meta_path = user_metadata
+        attached = attached_csvs or {}
+        seed = f"{repo}|{commit}|{meta_path}|"
 
-    # each CSV is one conversion root: emit only its own table's triples
-    # (multi-table groups are converted once per member CSV, each member
-    # owning its table — exactly-once without cross-file coordination)
-    for t in group.tables:
-        if t.url != root_url:
-            t.suppress_output = True
+        def csv_texts(url: str):
+            if not url.startswith(repo_root):
+                return None
+            rel = url[len(repo_root):].split("#", 1)[0]
+            if rel in attached:
+                return attached[rel]
+            return attached.get(rel.split("?", 1)[0])
+    else:
+        for cand in candidates:
+            text = json_files.get(cand)
+            if text is None:
+                continue
+            try:
+                parsed = parse_metadata(text, repo_root + cand, resolver=resolver,
+                                        encode_templates=encode_iris)
+            except Exception as ex:  # noqa: BLE001 - any parse failure (incl.
+                # malformed JSON) is an M15 error-channel event, never fatal
+                errors.append(f"metadata {cand}: {type(ex).__name__}: {ex}")
+                continue
+            if any(t.url == root_url for t in parsed.tables):
+                group, meta_path = parsed, cand
+                break
+            errors.append(f"metadata {cand} does not reference {csv_path}; ignored")
+        if group is None:
+            # bare table group, header-inferred all-string schema
+            # (``Rdf/Converter.cs:105-107``)
+            group = CompiledTableGroup()
+            table = CompiledTable(url=root_url)
+            table.columns_declared = False
+            group.tables.append(table)
 
-    seed = f"{repo}|{commit}|{meta_path or ''}|{csv_path}"
+        # each CSV is one conversion root: emit only its own table's
+        # triples (path-convention multi-table groups are converted once
+        # per member CSV, each member owning its table — exactly-once
+        # without cross-file coordination)
+        for t in group.tables:
+            if t.url != root_url:
+                t.suppress_output = True
 
-    def csv_texts(url: str):
-        return csv_text if url == root_url else None
+        seed = f"{repo}|{commit}|{meta_path or ''}|{csv_path}"
+
+        def csv_texts(url: str):
+            return csv_text if url == root_url else None
 
     try:
         result = convert_file(group, csv_texts, mode=mode,
@@ -288,11 +470,14 @@ def convert_batches(ds, mode: str = MODE_MINIMAL, encode_iris: bool = False,
         data = batch.to_pylist()
         for row in data:
             row_shard = int(row.get("shard", -1))
+            attached = row.get("attached_csvs")
             triples, meta_path, nrows, errs = _convert_one(
                 row["repo"], row["csv_path"], row["commit"],
                 row["content_sha256"], row["csv_text"],
                 json.loads(row["candidates"]), json.loads(row["json_files"]),
-                mode, encode_iris=encode_iris)
+                mode, encode_iris=encode_iris,
+                user_metadata=row.get("user_metadata"),
+                attached_csvs=json.loads(attached) if attached else None)
             thash = 0
             for (s, p, o) in triples:
                 thash ^= _triple_digest(s, p, o)
