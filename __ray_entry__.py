@@ -179,15 +179,29 @@ def _q_text_stats(sf_dir: str):
 
 
 def _q_quality(sf_dir: str):
-    """Full quality-scoring surface (composite score is heuristic → rows
-    only)."""
+    """Quality-scoring surface, oracle-checked via integer-exact permille
+    ratios (float ratios hit decimal-half rounding ties where numpy and
+    DuckDB legitimately disagree on the last digit; integer division is
+    bit-exact on both engines).  The float composite ``quality`` remains
+    available from the op but is heuristic by construction."""
     _cfg()
+    import pandas as pd
+
     from csvweb_ray.ops.text import quality_score
     from csvweb_ray.queries import T
 
     ds = quality_score(T(sf_dir, "documents", columns=["doc_id", "text"]))
-    return (ds.select_columns(["doc_id", "n_words", "stopword_ratio", "quality"])
-            .sort("doc_id").to_pandas().round(6))
+    df = (ds.select_columns(["doc_id", "n_words", "n_sentences",
+                             "n_stopwords", "sum_word_len", "n_digits",
+                             "n_chars_calc"])
+          .sort("doc_id").to_pandas())
+    nw = df["n_words"].where(df["n_words"] > 0, 1)
+    nc = df["n_chars_calc"].where(df["n_chars_calc"] > 0, 1)
+    df["stopword_permille"] = (df["n_stopwords"] * 1000 // nw).astype("int64")
+    df["mean_wlen_centi"] = (df["sum_word_len"] * 100 // nw).astype("int64")
+    df["digit_permille"] = (df["n_digits"] * 1000 // nc).astype("int64")
+    return df[["doc_id", "n_words", "n_sentences", "stopword_permille",
+               "mean_wlen_centi", "digit_permille"]]
 
 
 def _q_lang_id(sf_dir: str):
@@ -254,6 +268,29 @@ def _q_ngram_jaccard(sf_dir: str):
     df = _ensure_cols(verified.to_pandas(),
                       {"a": "int64", "b": "int64", "jaccard": "float64"})
     return df.sort_values(["a", "b"]).reset_index(drop=True).round(4)
+
+
+def _q_ngram_jaccard_exact(sf_dir: str):
+    """Exact all-pairs n-gram Jaccard over every 5th document — fully
+    DuckDB-verifiable (the LSH variant has recall < 1 by design)."""
+    _cfg()
+    import numpy as np
+    import pyarrow as pa
+
+    from csvweb_ray.ops.dedup import ngram_jaccard_allpairs
+    from csvweb_ray.queries import T
+
+    def _every5(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].to_pylist())
+        return b.filter(pa.array(ids % 5 == 0))
+
+    docs = T(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        _every5, batch_format="pyarrow")
+    pairs = ngram_jaccard_allpairs(docs, threshold=0.5)
+    df = _ensure_cols(pairs.to_pandas(),
+                      {"a": "int64", "b": "int64", "jaccard": "float64"})
+    df["jaccard"] = df["jaccard"].round(4)
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def _q_embedding_neardup(sf_dir: str):
@@ -409,6 +446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
+        "ngram_jaccard_exact": _q_ngram_jaccard_exact,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "ann_topk": _q_ann_topk,
@@ -519,6 +557,56 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS t_start, max(ts) AS t_end
             FROM s GROUP BY user_id, session_id
             ORDER BY user_id, session_id""",
+        "ngram_jaccard_exact": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+') AS t
+              FROM documents WHERE doc_id % 5 = 0),
+            grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+                          WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                          ELSE list_distinct(list_transform(
+                              generate_series(1, len(t) - 2),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                     END AS g
+              FROM toks),
+            pairs AS (
+              SELECT a.doc_id AS a, b.doc_id AS b,
+                     CASE WHEN len(list_distinct(a.g || b.g)) = 0 THEN 1.0
+                          ELSE len(list_intersect(a.g, b.g)) * 1.0
+                               / len(list_distinct(a.g || b.g))
+                     END AS jaccard
+              FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
+            SELECT a, b, round(jaccard, 4) AS jaccard
+            FROM pairs WHERE jaccard >= 0.5 ORDER BY a, b""",
+        "quality_score": """
+            WITH w AS (
+              SELECT doc_id,
+                     coalesce(text, '') AS t,
+                     regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS words
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     len(words) AS n_words,
+                     length(regexp_replace(t, '[^.!?]', '', 'g')) AS n_sentences,
+                     len(list_filter(words, x -> list_contains(
+                         ['the','and','of','to','a','in','is','it','that',
+                          'for','was','on','are','with','as','this','be',
+                          'at','have'], x))) AS n_stop,
+                     coalesce(list_sum(list_transform(words, x -> len(x))), 0)
+                         AS sum_wlen,
+                     length(regexp_replace(t, '[^0-9]', '', 'g')) AS n_digits,
+                     length(t) AS n_chars
+              FROM w)
+            SELECT doc_id, n_words, n_sentences,
+                   CAST(n_stop * 1000 // greatest(n_words, 1) AS BIGINT)
+                       AS stopword_permille,
+                   CAST(sum_wlen * 100 // greatest(n_words, 1) AS BIGINT)
+                       AS mean_wlen_centi,
+                   CAST(n_digits * 1000 // greatest(n_chars, 1) AS BIGINT)
+                       AS digit_permille
+            FROM m ORDER BY doc_id""",
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                        FROM embeddings WHERE vec_id < 4),

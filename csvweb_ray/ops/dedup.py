@@ -31,7 +31,8 @@ import pyarrow.compute as pc
 
 __all__ = [
     "add_sha256_column", "exact_dedup", "minhash_signatures",
-    "lsh_candidate_pairs", "verify_jaccard_pairs", "simhash_signatures",
+    "lsh_candidate_pairs", "verify_jaccard_pairs", "ngram_jaccard_allpairs",
+    "simhash_signatures",
     "simhash_candidate_pairs", "embedding_neardup_pairs", "auto_num_planes",
     "cluster_pairs", "cluster_pairs_distributed", "dedup_keep_ids",
 ]
@@ -229,6 +230,57 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_bands: int = 32,
 
     return (sig_ds.map_batches(_emit, batch_format="pyarrow")
             .groupby("pair_id").map_groups(_estimate, batch_format="pandas"))
+
+
+def ngram_jaccard_allpairs(ds, col: str = "text", id_col: str = "doc_id",
+                           ngram: int = 3, threshold: float = 0.5,
+                           token_pattern: str = r"[0-9a-z_]+"):
+    """Exact ALL-pairs n-gram Jaccard over a (bounded) document subset —
+    the oracle-checkable exhaustive variant (LSH candidate generation has
+    recall < 1 by design, so it cannot be SQL-verified).  Gram sets are
+    computed distributed per batch; the O(n²) pair comparison runs in one
+    group over C-speed set ops — callers bound the subset size.  The ASCII
+    token pattern (not ``\\w``) matches RE2/DuckDB regex semantics so the
+    DuckDB oracle computes identical grams."""
+    import pandas as pd
+
+    tok = re.compile(token_pattern)
+
+    def _grams(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        gram_lists = []
+        for text in batch[col].to_pylist():
+            toks = tok.findall((text or "").lower())
+            if not toks:
+                grams = []
+            elif len(toks) < ngram:
+                grams = [" ".join(toks)]
+            else:
+                grams = sorted({" ".join(toks[i:i + ngram])
+                                for i in range(len(toks) - ngram + 1)})
+            gram_lists.append(grams)
+        return pa.table({
+            id_col: batch[id_col],
+            "grams": pa.array(gram_lists, type=pa.list_(pa.string())),
+            "g": pa.array([0] * len(ids), type=pa.int32())})
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        ids = g[id_col].tolist()
+        sets = [set(x) for x in g["grams"]]
+        rows = {"a": [], "b": [], "jaccard": []}
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                union = len(sets[i] | sets[j])
+                jac = 1.0 if union == 0 else len(sets[i] & sets[j]) / union
+                if jac >= threshold:
+                    rows["a"].append(ids[i])
+                    rows["b"].append(ids[j])
+                    rows["jaccard"].append(jac)
+        return pd.DataFrame(rows)
+
+    return (ds.map_batches(_grams, batch_format="pyarrow")
+            .groupby("g").map_groups(_pairs, batch_format="pandas"))
 
 
 def verify_jaccard_pairs(ds, pairs_ds, col: str = "text", id_col: str = "doc_id",

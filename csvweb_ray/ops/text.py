@@ -90,6 +90,15 @@ def quality_score(ds, col: str = "text"):
         batch["digit_ratio"] = digit_ratio
         batch["upper_ratio"] = upper_ratio
         batch["quality"] = quality
+        # integer-exact counterparts (for SQL-oracle comparison: float
+        # ratios hit decimal-half rounding ties where numpy and SQL
+        # engines legitimately disagree on the last digit)
+        batch["n_stopwords"] = words.map(
+            lambda ws: sum(w in en_stop for w in ws)).astype("int64")
+        batch["sum_word_len"] = words.map(
+            lambda ws: sum(len(w) for w in ws)).astype("int64")
+        batch["n_digits"] = text.map(
+            lambda t: sum(c.isdigit() for c in t)).astype("int64")
         return batch
 
     return ds.map_batches(_score, batch_format="pandas")
