@@ -83,7 +83,8 @@ def run_headline() -> dict:
     wall = time.perf_counter() - t0
     triples = report["total_triples_pre_dedup"]
     return {"sec": wall, "triples": triples,
-            "triples_per_sec": triples / wall if wall else 0.0}
+            "triples_per_sec": triples / wall if wall else 0.0,
+            "phases": report.get("phase_secs", {})}
 
 
 def run_queries() -> dict:
@@ -108,6 +109,13 @@ def run_queries() -> dict:
 def main() -> None:
     import ray
 
+    # fairness for the two-parallelism scaling protocol: pyarrow's IO
+    # thread pool defaults to 8 PER WORKER regardless of the Ray CPU
+    # budget, so an 8-CPU session gets 64 decode threads on a 32-core
+    # host while the 32-CPU session is already saturated — an artifact a
+    # real N-vs-4N-node cluster (fixed threads per node) would not have.
+    # Set before ray.init so workers inherit it.
+    os.environ.setdefault("ARROW_IO_THREADS", "2")
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     from csvweb_ray.raycfg import configure
@@ -127,6 +135,7 @@ def main() -> None:
         "corpus_rows": N_FILES * ROWS_PER_FILE,
         "triples": headline["triples"],
         "triples_per_sec": round(headline["triples_per_sec"], 1),
+        "phases": headline["phases"],
     }))
 
 

@@ -340,8 +340,25 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
 
     from .stages import canonicalize_triple_schema
 
-    all_out = rd.read_parquet(shards_dir)
+    # The merge-read block count BOUNDS the sort partition count (map
+    # stages preserve block count, and Ray's range sort emits one reduce
+    # partition per input block).  The exchange cost grows with P² slice
+    # objects, so P = num CPUs (measured: 14 s vs 34 s for the same 15.8M
+    # -row sort at P=32 vs P=128 on 32 CPUs), floored by a bytes/partition
+    # target so a 100 TB merge still gets enough partitions for memory.
+    import ray as _ray
+
+    ncpu = int(_ray.cluster_resources().get("CPU", 8)) \
+        if _ray.is_initialized() else 8
+    disk_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(shards_dir) for f in fs)
+    merge_blocks = max(ncpu, int(disk_bytes * 3 // (256 << 20)), 1)
+    all_out = rd.read_parquet(shards_dir, override_num_blocks=merge_blocks)
     triples, filemeta = split_convert_output(all_out)
+    from .stages import sample_term_boundaries
+
+    merge_boundaries = sample_term_boundaries(shards_dir, merge_blocks)
 
     if with_linking:
         import ray
@@ -364,7 +381,8 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
 
     # dedup_triples fuses G6 dedup with the G7 (subj, pred, obj) sort:
     # one exchange serves both
-    triples = canonicalize_triple_schema(dedup_triples(triples))
+    triples = canonicalize_triple_schema(
+        dedup_triples(triples, boundaries=merge_boundaries))
     triples = render_ntriples_column(triples)
 
     if os.path.isdir(final_dir):

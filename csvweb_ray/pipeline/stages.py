@@ -584,12 +584,23 @@ def _unescape_cells(arr: pa.Array) -> pa.Array:
     a = pc.replace_substring(a, pattern=_ESC + "F", replacement=_FIELD_SEP)
     return pc.replace_substring(a, pattern=_ESC + "E", replacement=_ESC)
 
-#: triple identity packed in OUTPUT-SORT order — sorting by ``term_key``
-#: is sorting by (subj, pred, obj_value, ...), so one exchange serves
-#: both the dedup co-location AND the final G7 ordering
-_TERM_COLS = ["subj", "pred", "obj_value", "subj_kind", "obj_kind",
-              "obj_datatype", "obj_lang"]
+#: the G7 output-sort key packed into ONE plain string column — sorting
+#: by ``term_key`` is sorting by (subj, pred, obj_value), so one exchange
+#: serves both the dedup co-location AND the final ordering.  Only these
+#: three fields ride as the (wide) key; everything else crosses the
+#: shuffle as dictionary-encoded payload (below).
+_KEY_COLS = ["subj", "pred", "obj_value"]
+#: remaining triple-identity fields (dedup compares key + these)
+_IDENT_EXTRA = ["subj_kind", "obj_kind", "obj_datatype", "obj_lang"]
 _LINEAGE_COLS = ["repo", "path", "commit", "content_sha256"]
+#: payload columns that are per-file constants or low-cardinality — they
+#: cross the all-to-all as Arrow dictionary-encoded columns (~2-4 B/row
+#: of indices + one tiny dictionary per block, vs ~150 B/row of repeated
+#: strings; the exchange is the pipeline's non-scaling phase, so shuffled
+#: bytes are the lever).  Arrow cannot SORT by a dictionary column, which
+#: is why the sort key itself stays a plain string.
+_DICT_COLS = ["obj_datatype", "obj_lang", "repo", "path", "commit",
+              "content_sha256"]
 
 
 def _join_cols(batch: pa.Table, cols: list[str]) -> pa.Array:
@@ -602,7 +613,43 @@ def _join_cols(batch: pa.Table, cols: list[str]) -> pa.Array:
     return pc.binary_join_element_wise(*arrays, _FIELD_SEP)
 
 
-def dedup_triples(ds):
+def sample_term_boundaries(shards_dir: str, num_parts: int,
+                           max_row_groups: int = 128,
+                           rows_per_group: int = 2048) -> list[str]:
+    """Driver-side sampled range boundaries for the fused dedup+sort.
+
+    Reads ~``max_row_groups`` row-group heads spread across the wave
+    parquet (3 key columns only, a few MB total), packs them with the
+    SAME escaped key encoding as the exchange, and returns ``num_parts-1``
+    quantile boundaries.  Sorting by the resulting small-int partition id
+    instead of the wide string key keeps Ray's SortMap partition search on
+    zero-copy numpy ints — the string-key path materializes the whole key
+    column per boundary (measured 16 s/task vs <1 s)."""
+    import pyarrow.dataset as pads
+
+    d = pads.dataset(shards_dir, format="parquet")
+    rg_frags = [rg for f in d.get_fragments() for rg in f.split_by_row_group()]
+    if not rg_frags:
+        return []
+    step = max(1, len(rg_frags) // max_row_groups)
+    keys: list[str] = []
+    for rg in rg_frags[::step][:max_row_groups]:
+        t = rg.head(rows_per_group, columns=list(_KEY_COLS))
+        t = t.filter(pc.is_valid(t["subj"]))  # drop per-file metrics rows
+        if t.num_rows:
+            keys.extend(_join_cols(t, _KEY_COLS).to_pylist())
+    if not keys:
+        return []
+    keys.sort()
+    bounds = []
+    for i in range(1, num_parts):
+        b = keys[min(len(keys) - 1, i * len(keys) // num_parts)]
+        if not bounds or b != bounds[-1]:
+            bounds.append(b)
+    return bounds
+
+
+def dedup_triples(ds, boundaries: list[str] | None = None):
     """G6 + G7 in one exchange: RDF set semantics (dotNetRDF ``Graph``
     deduplicates on insert) fused with the global output sort.
 
@@ -625,38 +672,91 @@ def dedup_triples(ds):
     of this sort-based formulation).
     """
 
+    _PASS_COLS = _IDENT_EXTRA + _LINEAGE_COLS
+    _SORT_COLS = ["term_key"] + _IDENT_EXTRA + _LINEAGE_COLS
+    columnar = boundaries is not None
+    dict_cols = set(_DICT_COLS) | ({"pred"} if columnar else set())
+
+    def _canon_str(col):
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if pa.types.is_dictionary(col.type):
+            col = col.cast(col.type.value_type)
+        if pa.types.is_null(col.type):
+            col = pa.nulls(len(col), type=pa.string())
+        return col.cast(pa.string())
+
+    def _first_per_identity(t: pa.Table, sort_cols, ident_cols) -> pa.Table:
+        """Deterministic winner per triple identity: min lineage under the
+        column-tuple order, nulls last — all C-speed Arrow kernels (a
+        pandas object sort here costs seconds per 500k-row block)."""
+        t = t.sort_by([(c, "ascending") for c in sort_cols])
+        n = t.num_rows
+        keep = None
+        for c in ident_cols:
+            col = t[c].combine_chunks()
+            a, b = col.slice(0, n - 1), col.slice(1, n)
+            both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+            neq = pc.if_else(both_null, pa.scalar(False),
+                             pc.fill_null(pc.not_equal(a, b), True))
+            keep = neq if keep is None else pc.or_(keep, neq)
+        mask = pa.concat_arrays([pa.array([True]), keep.combine_chunks()
+                                 if isinstance(keep, pa.ChunkedArray) else keep])
+        return t.filter(mask)
+
     def _pack(batch: pa.Table) -> pa.Table:
-        term_key = _join_cols(batch, _TERM_COLS)
-        lineage = _join_cols(batch, _LINEAGE_COLS)
-        t = pa.table({"term_key": term_key, "lineage": lineage})
-        # local combiner: first lineage per term_key within the batch
-        df = t.to_pandas()
-        df = df.sort_values(["term_key", "lineage"]).drop_duplicates("term_key")
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # pure Arrow kernels, no pandas round-trip.  No local combiner:
+        # measured dup ratio in converted corpora is a few percent, so a
+        # per-block pandas sort+dedup cost far more CPU than the bytes it
+        # saved the exchange; the reduce side dedups exactly regardless.
+        term_key = _join_cols(batch, _KEY_COLS)
+        if columnar:
+            # partition id = #boundaries <= key (vectorized memcmp per
+            # boundary): equal keys share a partition by construction, so
+            # the reduce-side dedup stays exact; the range sort then keys
+            # on this small int instead of the wide string, and the triple
+            # columns cross the exchange AS columns — no packed-string
+            # split/unescape on the reduce side at all
+            part = pa.nulls(len(term_key), pa.int32()).fill_null(0)
+            for b in boundaries:
+                part = pc.add(part, pc.cast(
+                    pc.greater_equal(term_key, pa.scalar(b)), pa.int32()))
+            out = {"part": part}
+            for c in TRIPLE_COLUMNS:
+                col = _canon_str(batch[c])
+                out[c] = pc.dictionary_encode(col) if c in dict_cols else col
+            return pa.table(out)
+        return pa.table({
+            "term_key": term_key,
+            **{c: (pc.dictionary_encode(_canon_str(batch[c]))
+                   if c in dict_cols else _canon_str(batch[c]))
+               for c in _PASS_COLS}})
 
     def _adjacent(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df = df.sort_values(["term_key", "lineage"], kind="stable") \
-            .drop_duplicates("term_key")
-        out = {}
-        t = pa.Table.from_pandas(df, preserve_index=False)
+        if batch.num_rows == 0:
+            return pa.table({c: pa.nulls(0, type=pa.string())
+                             for c in TRIPLE_COLUMNS})
+        if columnar:
+            t = pa.table({c: _canon_str(batch[c]) for c in TRIPLE_COLUMNS})
+            t = _first_per_identity(t, _KEY_COLS + _IDENT_EXTRA + _LINEAGE_COLS,
+                                    _KEY_COLS + _IDENT_EXTRA)
+            return t.select(TRIPLE_COLUMNS)
+        t = pa.table({c: _canon_str(batch[c]) for c in batch.column_names})
+        t = _first_per_identity(t, _SORT_COLS, ["term_key"] + _IDENT_EXTRA)
         terms = pc.split_pattern(t["term_key"].combine_chunks(), _FIELD_SEP)
-        lineage = pc.split_pattern(t["lineage"].combine_chunks(), _FIELD_SEP)
-        for i, c in enumerate(_TERM_COLS):
+        out = {}
+        for i, c in enumerate(_KEY_COLS):
             v = pc.list_element(terms, i)
             out[c] = pc.if_else(pc.equal(v, _NULL_MARK),
                                 pa.nulls(len(t), type=pa.string()),
                                 _unescape_cells(v))
-        for i, c in enumerate(_LINEAGE_COLS):
-            v = pc.list_element(lineage, i)
-            out[c] = pc.if_else(pc.equal(v, _NULL_MARK),
-                                pa.nulls(len(t), type=pa.string()),
-                                _unescape_cells(v))
+        for c in _PASS_COLS:
+            out[c] = t[c].combine_chunks()
         return pa.table({c: out[c] for c in TRIPLE_COLUMNS})
 
     packed = ds.map_batches(_pack, batch_format="pyarrow")
-    return packed.sort("term_key").map_batches(_adjacent, batch_format="pyarrow",
-                                               batch_size=None)
+    sorted_ds = packed.sort("part" if columnar else "term_key")
+    return sorted_ds.map_batches(_adjacent, batch_format="pyarrow",
+                                 batch_size=None)
 
 
 def canonicalize_triple_schema(ds):

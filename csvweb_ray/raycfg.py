@@ -16,6 +16,59 @@ from __future__ import annotations
 
 __all__ = ["configure"]
 
+_PATCHED = False
+
+
+def _patch_sort_partitioning() -> None:
+    """Fix an O(boundaries × rows) hotspot in Ray 2.49's range sort.
+
+    ``TableBlockAccessor._find_partitions_sorted`` calls
+    ``find_partition_index`` once per boundary, and THAT converts the
+    whole sort column with ``.to_numpy()`` on every call — for a 500k-row
+    string block with 31 boundaries that materializes ~15M Python strings
+    per SortMap task (measured 16 s/task; the sort itself is 0.5 s).  The
+    single-ascending-key case (every sort in this repo's hot path)
+    converts once and binary-searches all boundaries; anything else falls
+    back to the original implementation.  This runs in EVERY sort task,
+    so it is patched process-wide by ``configure()`` (workers import this
+    module inside the UDF closures, which call ``configure``'s patch via
+    the module import in ``bench``/tests/CLI drivers — and Ray sort tasks
+    run the accessor in the worker process where the dataset's lambdas
+    were deserialized, importing this module first).
+    """
+    global _PATCHED
+    if _PATCHED:
+        return
+    import numpy as np
+    from ray.data._internal import table_block
+
+    orig = table_block.TableBlockAccessor._find_partitions_sorted
+
+    def fast(self, boundaries, sort_key):
+        columns = sort_key.get_columns()
+        descending = sort_key.get_descending()
+        simple = (
+            len(descending) >= 1 and not descending[0]
+            and all(isinstance(b, tuple) and len(b) == 1
+                    and b[0] is not None for b in boundaries))
+        if not simple:
+            return orig(self, boundaries, sort_key)
+        try:
+            col = self._table[columns[0]].to_numpy()
+        except Exception:  # noqa: BLE001 - exotic column types → original
+            return orig(self, boundaries, sort_key)
+        partitions = []
+        last_idx = 0
+        for boundary in boundaries:
+            idx = int(np.searchsorted(col, boundary[0], side="left"))
+            partitions.append(self._table[last_idx:idx])
+            last_idx = idx
+        partitions.append(self._table[last_idx:])
+        return partitions
+
+    table_block.TableBlockAccessor._find_partitions_sorted = fast
+    _PATCHED = True
+
 
 def configure(num_cpus: int | None = None, quiet: bool = True) -> None:
     import ray
@@ -29,6 +82,7 @@ def configure(num_cpus: int | None = None, quiet: bool = True) -> None:
     ctx.min_parallelism = par
     ctx.read_op_min_num_blocks = par
     ctx.default_hash_shuffle_parallelism = par
+    _patch_sort_partitioning()
     if quiet:
         ctx.enable_progress_bars = False
         ctx.execution_options.verbose_progress = False
