@@ -140,10 +140,17 @@ def main() -> None:
 
 
 def scaling() -> None:
-    ensure_corpus()
+    # the scaling protocol uses a LARGER corpus than the headline run:
+    # with the merge exchange optimized, the 3,500-file corpus finishes in
+    # ~60 s at 32 CPUs and fixed overheads (~10 s: executor startup,
+    # sampling barriers, shuffle latency) dilute the ratio; at 8x the
+    # parallel work dominates, which is the regime the 100 TB design
+    # point actually lives in
+    n_files = os.environ.get("BENCH_SCALING_N_FILES", "28000")
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1")
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1",
+                   BENCH_N_FILES=n_files)
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__))).stdout

@@ -40,64 +40,101 @@ def _fake_pixels(payload: bytes, h: int, w: int) -> np.ndarray:
     return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
 
 
+def pil_image_decoder(payload: bytes, h: int, w: int):
+    """Real decode path (used automatically when PIL is installed): decode
+    + RGB + resize → (h, w, 3) uint8.  Import inside so environments
+    without PIL never pay for it."""
+    import io as _io
+
+    from PIL import Image
+
+    img = Image.open(_io.BytesIO(payload)).convert("RGB").resize((w, h))
+    return np.asarray(img, dtype=np.uint8)
+
+
 class ImageDecoder:
     """Actor-pool stage: decode + resize → fixed-shape uint8 tensor column.
 
-    ``strict=True`` raises ``NotImplementedError`` (no image library in
-    this environment); ``strict=False`` produces the deterministic fake so
-    tests can drive the full pipeline shape.
+    The decode kernel is INJECTABLE: pass ``decoder=fn`` with signature
+    ``fn(payload: bytes, h: int, w: int) -> np.uint8[h, w, 3]`` — a real
+    environment swaps in PIL/opencv with zero pipeline changes (PIL is
+    picked up automatically when importable).  Without an injected or
+    importable decoder, ``strict=True`` raises ``NotImplementedError``
+    and ``strict=False`` (default) produces the deterministic fake so
+    tests can drive the full distributed shape.
     """
 
-    def __init__(self, height: int = 32, width: int = 32, strict: bool = False):
-        # real impl: import PIL here, once per actor
+    def __init__(self, height: int = 32, width: int = 32, strict: bool = False,
+                 decoder=None):
         self.h, self.w, self.strict = height, width, strict
+        if decoder is None:
+            try:
+                import PIL  # noqa: F401 - probe only, once per actor
+
+                decoder = pil_image_decoder
+            except ImportError:
+                decoder = None
+        self.decoder = decoder
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
+        if self.decoder is None and self.strict:
             raise NotImplementedError(
-                "image decoding requires PIL/opencv, not present in this "
-                "container; run with strict=False for the deterministic stub")
+                "image decoding requires PIL/opencv (none importable and no "
+                "decoder injected); run with strict=False for the "
+                "deterministic stub")
+        decode = self.decoder or (lambda p, h, w: _fake_pixels(p, h, w))
         tensors = []
         for payload in batch["payload"].to_pylist():
-            px = _fake_pixels(payload or b"", self.h, self.w)
-            tensors.append(px.reshape(-1).tolist())
+            px = decode(payload or b"", self.h, self.w)
+            tensors.append(np.asarray(px, dtype=np.uint8).reshape(-1).tolist())
         col = pa.array(tensors, type=pa.list_(pa.uint8(), self.h * self.w * 3))
         return (batch.drop_columns(["payload"])
                 .append_column("pixels", col))
 
 
 def decode_images(ds, height: int = 32, width: int = 32, concurrency: int = 2,
-                  batch_size: int = 64):
+                  batch_size: int = 64, decoder=None):
     """Small batches on purpose: batch_size × payload size × concurrency
     must fit the worker heap (SURVEY "memory-aware")."""
     return ds.map_batches(
-        ImageDecoder, fn_constructor_kwargs={"height": height, "width": width},
+        ImageDecoder, fn_constructor_kwargs={"height": height, "width": width,
+                                             "decoder": decoder},
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
 
 
 class AudioFeaturizer:
-    """Actor-pool stage: waveform → fixed-size feature vector (stubbed as
-    hash-seeded bands; real impl would compute e.g. log-mel energies)."""
+    """Actor-pool stage: waveform → fixed-size feature vector.  Injectable
+    like ``ImageDecoder``: pass ``featurizer(payload: bytes, n_bands) ->
+    float[n_bands]`` (e.g. a torchaudio log-mel) — the stub is a
+    deterministic hash-seeded band vector."""
 
-    def __init__(self, n_bands: int = 16, strict: bool = False):
+    def __init__(self, n_bands: int = 16, strict: bool = False,
+                 featurizer=None):
         self.n_bands, self.strict = n_bands, strict
+        self.featurizer = featurizer
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError("audio decode requires torchaudio/librosa")
-        feats = []
-        for payload in batch["payload"].to_pylist():
-            seed = int.from_bytes(hashlib.sha256(payload or b"").digest()[:4], "little")
-            rng = np.random.RandomState(seed)
-            feats.append(rng.standard_normal(self.n_bands).tolist())
+        if self.featurizer is None and self.strict:
+            raise NotImplementedError(
+                "audio decode requires torchaudio/librosa (none injected)")
+
+        def _stub(payload: bytes, n: int):
+            seed = int.from_bytes(hashlib.sha256(payload).digest()[:4], "little")
+            return np.random.RandomState(seed).standard_normal(n)
+
+        feat = self.featurizer or _stub
+        feats = [np.asarray(feat(p or b"", self.n_bands),
+                            dtype=np.float64).tolist()
+                 for p in batch["payload"].to_pylist()]
         col = pa.array(feats, type=pa.list_(pa.float64(), self.n_bands))
         return batch.drop_columns(["payload"]).append_column("features", col)
 
 
 def extract_audio_features(ds, n_bands: int = 16, concurrency: int = 2,
-                           batch_size: int = 64):
+                           batch_size: int = 64, featurizer=None):
     return ds.map_batches(
-        AudioFeaturizer, fn_constructor_kwargs={"n_bands": n_bands},
+        AudioFeaturizer, fn_constructor_kwargs={"n_bands": n_bands,
+                                                "featurizer": featurizer},
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
 
 

@@ -274,3 +274,19 @@ def test_cluster_pairs_distributed_matches_union_find(ray_session):
     got = {int(r["node"]): int(r["label"])
            for r in cluster_pairs_distributed(ds, num_buckets=8).take_all()}
     assert got == roots
+
+
+def test_image_decoder_injected(ray_session):
+    """A custom decode kernel drops in without touching the pipeline
+    shape (the real-environment swap path)."""
+    from csvweb_ray.ops.multimodal import decode_images
+
+    def gray(payload, h, w):
+        import numpy as np
+
+        v = (len(payload) * 7) % 256
+        return np.full((h, w, 3), v, dtype=np.uint8)
+
+    out = decode_images(_media(ray_session), height=4, width=4,
+                        concurrency=1, batch_size=4, decoder=gray).to_pandas()
+    assert all(len(set(p)) == 1 for p in out.pixels)  # uniform gray frames
