@@ -158,6 +158,7 @@ def scaling() -> None:
 
     lo, hi = 8, 32
     trials = int(os.environ.get("BENCH_TRIALS", "3"))
+    ceiling = _host_ceiling(trials)
     # this sandbox host shows heavy co-tenant noise (a fixed CPU-burn
     # microbenchmark varies ±2x between back-to-back trials), so each leg
     # runs `trials` times and the MINIMUM wall time (the least-disturbed
@@ -177,6 +178,8 @@ def scaling() -> None:
     result = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
+        "host_ceiling_eff": round(ceiling, 3),
+        "normalized_vs_ceiling": round(eff / ceiling, 3) if ceiling else None,
         "unit": "ratio",
         f"sec_{lo}": r_lo["value"], f"sec_{hi}": r_hi["value"],
         f"sec_{lo}_trials": [r["value"] for r in runs_lo],
@@ -188,6 +191,44 @@ def scaling() -> None:
     }
     print(json.dumps(result))
     _record(result)
+
+
+def _host_ceiling(trials: int = 3, secs: float = 4.0) -> float:
+    """Best-of-N pure-CPU burn ratio (32 vs 8 processes, no Ray, no I/O),
+    normalized by 4 — the maximum scaling efficiency ANY CPU-bound job can
+    show on this host (per-core throughput drops when all cores are busy,
+    plus co-tenant noise).  Measured alongside the pipeline protocol so
+    the ceiling evidence shares the same noise environment."""
+    import multiprocessing as mp
+
+    def run(n):
+        ctx = mp.get_context("fork")  # no pickling: works under any entry
+        q = ctx.Queue()
+        ps = [ctx.Process(target=_BURN, args=(q, secs)) for _ in range(n)]
+        for p in ps:
+            p.start()
+        total = sum(q.get() for _ in ps)
+        for p in ps:
+            p.join()
+        return total / secs
+
+    best8 = best32 = 0.0
+    for _ in range(trials):
+        best8 = max(best8, run(8))
+        time.sleep(2)
+        best32 = max(best32, run(32))
+        time.sleep(2)
+    return (best32 / best8) / 4 if best8 else 0.0
+
+
+def _BURN(q, s):  # module-level for spawn pickling
+    t_end = time.perf_counter() + s
+    it, x = 0, 1.0001
+    while time.perf_counter() < t_end:
+        for _ in range(10000):
+            x = x * 1.0000001 % 17.0
+        it += 10000
+    q.put(it)
 
 
 def _record(result: dict) -> None:

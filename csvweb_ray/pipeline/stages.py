@@ -653,18 +653,25 @@ def dedup_triples(ds, boundaries: list[str] | None = None):
     """G6 + G7 in one exchange: RDF set semantics (dotNetRDF ``Graph``
     deduplicates on insert) fused with the global output sort.
 
-    Vectorized per-batch local dedup (the combiner — kills intra-file
-    dupes before the exchange), then ONE ``sort(term_key)`` followed by a
-    within-block adjacent dedup keeping the min lineage per key.
+    With ``boundaries`` (the scale path, used by the runner): rows get a
+    small-int partition id (#boundaries ≤ escaped (subj,pred,obj_value)
+    key), the range sort keys on that INT, and the triple fields cross
+    the exchange as dictionary-encoded COLUMNS; the reduce side then
+    fully sorts + dedups each merged partition with Arrow kernels.
+    Without boundaries (generic/small callers): one packed string key is
+    sorted directly.
 
     Exactness rests on two Ray sort invariants (ray 2.49,
     ``table_block._find_partitions_sorted`` / ``merge_sorted_blocks``):
     range partitioning maps every row with the same key value to the same
-    partition (boundaries compare by value: ``boundaries[i] <= x <
-    boundaries[i+1]``), and each reduce partition merges into one block —
-    so all copies of a triple land in the same block and the in-block
-    pass sees every one of them.  ``batch_size=None`` keeps one UDF call
-    per block.
+    partition, and each reduce partition merges into one block — so all
+    copies of a triple land in one block and the in-block pass sees every
+    one of them (with boundaries this holds trivially: the part id is a
+    pure function of the key).  ``batch_size=None`` keeps one UDF call
+    per block.  Output order is (subj, pred, obj_value) except for values
+    containing ASCII control chars < 0x1f, where the packed-key order used
+    for partitioning can differ from column-tuple order across a
+    partition boundary (dedup is unaffected; documented trade).
 
     Why not ``groupby().map_groups(head(1))`` or ``aggregate(Min)``: both
     pay per-distinct-key Python/accumulator overhead — at one group per

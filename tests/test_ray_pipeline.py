@@ -393,3 +393,45 @@ def test_linking_bucketed_fallback_matches_broadcast(ray_session, tmp_path):
     assert sorted(a.nt) == sorted(b.nt)
     links = a[a.pred == "http://corpus.invalid/vocab#linksTo"]
     assert len(links) >= 3  # exact ("alpha beta", "gamma") + token-set hit
+
+
+def test_dedup_boundaries_path_exactness(ray_session):
+    """The int-partition (columnar) dedup path: duplicates scattered
+    across many input blocks — including control-char values and
+    boundary-straddling keys — must dedup exactly and keep min lineage,
+    same as the packed-key path."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from csvweb_ray.pipeline.stages import TRIPLE_COLUMNS, dedup_triples
+
+    k = 400
+    n = k * 3  # every triple appears 3x with different lineage
+    subs = [f"http://x.invalid/s{i % k:03d}" for i in range(n)]
+    vals = [f"v{i % k:03d}" if i % 7 else f"v\x1f{i % k:03d}" for i in range(n)]
+    rows = {
+        "subj_kind": ["i"] * n,
+        "subj": subs,
+        "pred": ["http://x.invalid/p"] * n,
+        "obj_kind": ["l"] * n,
+        "obj_value": vals,
+        "obj_datatype": [None] * n,
+        "obj_lang": [None] * n,
+        "repo": [f"r{(i // k) % 3}" for i in range(n)],  # 3 lineages per key
+        "path": ["t.csv"] * n,
+        "commit": ["c" * 40] * n,
+        "content_sha256": ["s" * 64] * n,
+    }
+    ds = rd.from_arrow(pa.table({c: pa.array(rows[c], type=pa.string())
+                                 for c in TRIPLE_COLUMNS})).repartition(48)
+    # boundaries deliberately split the key space mid-range
+    bounds = [f"http://x.invalid/s{i:03d}\x1f" for i in (100, 200, 300)]
+    out = dedup_triples(ds, boundaries=bounds).to_pandas()
+    distinct = set(zip(subs, vals))
+    assert len(out) == len(distinct)
+    assert sorted(zip(out.subj, out.obj_value)) == sorted(distinct)
+    # keys whose 3 copies are value-identical must keep min lineage; the
+    # dedup never drops a lineage other than by the deterministic rule
+    full_dupes = {subs[j] for j in range(k)
+                  if (j % 7 == 0) == ((j + k) % 7 == 0) == ((j + 2 * k) % 7 == 0)}
+    assert set(out[out.subj.isin(full_dupes)].repo) <= {"r0"}
