@@ -342,18 +342,19 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
 
     # The merge-read block count BOUNDS the sort partition count (map
     # stages preserve block count, and Ray's range sort emits one reduce
-    # partition per input block).  The exchange cost grows with P² slice
-    # objects, so P = num CPUs (measured: 14 s vs 34 s for the same 15.8M
-    # -row sort at P=32 vs P=128 on 32 CPUs), floored by a bytes/partition
-    # target so a 100 TB merge still gets enough partitions for memory.
+    # partition per input block).  Too many partitions pay P² slice-object
+    # overhead in the exchange; too FEW are worse: a reduce task full-sorts
+    # its merged partition, and an 8-partition merge of a 68M-triple corpus
+    # put 8.5M rows × 11 string columns into one Arrow sort (~20 min/task
+    # measured).  Row-count is the honest sizing signal — the manifest
+    # already carries per-shard triple counts (zstd on-disk bytes
+    # under-estimate in-memory size ~20×).
     import ray as _ray
 
     ncpu = int(_ray.cluster_resources().get("CPU", 8)) \
         if _ray.is_initialized() else 8
-    disk_bytes = sum(
-        os.path.getsize(os.path.join(r, f))
-        for r, _, fs in os.walk(shards_dir) for f in fs)
-    merge_blocks = max(ncpu, int(disk_bytes * 3 // (256 << 20)), 1)
+    total_rows = sum(v.get("triples", 0) for v in manifest["shards"].values())
+    merge_blocks = max(ncpu, total_rows // 1_000_000, 1)
     all_out = rd.read_parquet(shards_dir, override_num_blocks=merge_blocks)
     triples, filemeta = split_convert_output(all_out)
     from .stages import sample_term_boundaries
