@@ -146,7 +146,7 @@ def scaling() -> None:
     # sampling barriers, shuffle latency) dilute the ratio; at 8x the
     # parallel work dominates, which is the regime the 100 TB design
     # point actually lives in
-    n_files = os.environ.get("BENCH_SCALING_N_FILES", "28000")
+    n_files = os.environ.get("BENCH_SCALING_N_FILES", "14000")
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1",
