@@ -22,3 +22,14 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+# Sort-partitioning fast path must be active in WORKER processes too (sort
+# tasks run the block accessor wherever the UDF deserializes, and workers
+# do not see driver monkeypatches).  Every UDF in this package lives in a
+# csvweb_ray.* module, so deserializing one imports this package first —
+# patching here covers both sides.  Safe: version-guarded, falls back to
+# the original implementation for any case it does not recognize.
+from .raycfg import _patch_sort_partitioning as _p  # noqa: E402
+
+_p()
+del _p

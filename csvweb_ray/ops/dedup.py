@@ -77,25 +77,108 @@ def add_sha256_column(ds, col: str = "text", out: str = "text_sha256"):
     return ds.map_batches(_sha, batch_format="pyarrow")
 
 
-def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, col: str = "text", id_col: str = "doc_id",
+                num_buckets: int = 64):
     """Hash-partitioned exact dedup keeping the min id per content hash.
-    Per-batch local dedup acts as the combiner before the shuffle."""
+
+    Per-batch local dedup acts as the combiner before the shuffle; the
+    exchange groups by a bounded BUCKET (hash prefix of the digest), not
+    by the digest itself — ``groupby(digest).map_groups`` pays one pandas
+    call per *distinct document*, which at corpus scale IS the corpus
+    (the map_groups-cardinality trap; see ``pipeline/stages.dedup_triples``).
+    One vectorized ``drop_duplicates`` per bucket does the same work in
+    ``num_buckets`` calls total."""
     import pandas as pd
 
     ds = add_sha256_column(ds, col=col)
 
     def _local(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        return pa.Table.from_pandas(
-            df.sort_values([  # deterministic local winner
-                "text_sha256", id_col]).drop_duplicates("text_sha256"),
-            preserve_index=False)
+        df = df.sort_values([  # deterministic local winner
+            "text_sha256", id_col]).drop_duplicates("text_sha256")
+        # bucket on the digest prefix: all rows of one hash share a bucket
+        df["_bucket"] = [int(h[:8], 16) % num_buckets for h in df["text_sha256"]]
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    def _first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
+    def _bucket_first(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["text_sha256", id_col])
+                .drop_duplicates("text_sha256")
+                .drop(columns=["_bucket"]))
 
     return (ds.map_batches(_local, batch_format="pyarrow")
-            .groupby("text_sha256").map_groups(_first, batch_format="pandas"))
+            .groupby("_bucket").map_groups(_bucket_first, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# bucketed pair ⋈ per-id value join (shared by the MinHash estimate and the
+# exact-Jaccard verify — keeps candidate lists OFF the driver)
+
+def _attach_value(pairs_ds, pair_schema: dict, value_ds, key_col: str,
+                  id_col: str, value_col: str, out_col: str,
+                  value_type: pa.DataType, num_buckets: int = 64,
+                  dedup_pairs: bool = False):
+    """Attach ``value_ds[value_col]`` (keyed by ``id_col``) to each pair row
+    as ``out_col``, joining on ``pairs_ds[key_col]`` — an explicit bucketed
+    hash join (int ids): both sides tagged with ``bucket = key & (B-1)``
+    into ONE unified schema (missing columns as typed nulls — the shuffle
+    reduce concats Arrow blocks and requires identical schemas), one
+    union + groupby(bucket) exchange, one vectorized pandas merge per
+    bucket.  ``pair_schema`` maps pair column → Arrow type; the join
+    output is emitted as Arrow with that schema pinned so empty buckets
+    cannot promote int columns to float64 (or drift list/large_list)
+    across the shuffle concat.  Pairs whose key has no value row are
+    dropped (inner join).  ``dedup_pairs=True`` drops duplicate pair rows
+    before the merge — every copy of a pair shares ``key_col``, so they
+    all land in one bucket and the join doubles as the global pair dedup,
+    saving the separate groupby-(a, b) exchange (whose multi-key sort was
+    the most expensive stage of the candidate pipeline)."""
+    import pandas as pd
+
+    pair_cols = list(pair_schema)
+    payload = dict(pair_schema)
+    payload[out_col] = value_type
+
+    def _tag(side: str, kcol: str, have: dict):
+        def fn(b: pa.Table) -> pa.Table:
+            k = b[kcol].combine_chunks().cast(pa.int64())
+            bucket = pc.cast(
+                pc.bit_wise_and(k, pa.scalar(num_buckets - 1)), pa.int32())
+            cols = {"bucket": bucket,
+                    "side": pa.array([side] * len(b), type=pa.string()),
+                    "k": k}
+            for c, typ in payload.items():
+                src = have.get(c)
+                cols[c] = (b[src].combine_chunks().cast(typ) if src
+                           else pa.nulls(len(b), type=typ))
+            return pa.table(cols)
+        return fn
+
+    out_cols = pair_cols + [out_col]
+
+    def _join(g: pd.DataFrame) -> pa.Table:
+        p = g[g["side"] == "p"].reindex(columns=["k"] + pair_cols)
+        if dedup_pairs:
+            p = p.drop_duplicates(pair_cols)
+        v = (g[g["side"] == "v"].reindex(columns=["k", out_col]))
+        m = p.merge(v, on="k", how="inner").reindex(columns=out_cols)
+        # emit Arrow with the schema pinned explicitly: pandas→Arrow
+        # inference on empty/object columns drifts between list/large_list
+        # and int64/float64 across blocks, which breaks the shuffle concat
+        return pa.table({
+            c: pa.array([None if x is None else
+                         (x.tolist() if hasattr(x, "tolist") else x)
+                         for x in m[c]], type=t)
+            for c, t in payload.items()})
+
+    left = pairs_ds.map_batches(
+        _tag("p", key_col, {c: c for c in pair_cols}), batch_format="pyarrow")
+    right = value_ds.map_batches(
+        _tag("v", id_col, {out_col: value_col}), batch_format="pyarrow")
+    # reduce-partition count pinned to the bucket count: the shuffle's
+    # cost at low data volume is per-task dispatch latency, and there are
+    # only ``num_buckets`` distinct keys anyway
+    return left.union(right).groupby("bucket", num_partitions=num_buckets) \
+        .map_groups(_join, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -133,24 +216,35 @@ def minhash_signatures(ds, col: str = "text", id_col: str = "doc_id",
 
 
 def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_bands: int = 32,
-                        threshold: float = 0.5):
+                        threshold: float = 0.5, max_bucket_size: int = 4096,
+                        num_buckets: int = 64):
     """Band the signatures, group by (band, band-hash) bucket, emit
     candidate pairs, estimate Jaccard from signature agreement, keep pairs
     with estimate ≥ ``threshold``, deduped across bands.
 
-    Shuffle shape: only slim ``(id, band, band_hash)`` rows ride the
-    bucket exchange — the full signature (the widest column) does NOT get
-    ×num_bands amplification.  Signatures are re-joined for the estimate
-    step via a broadcast of the (small — the LSH contract) candidate-pair
-    list, one grouped vectorized pass.  ``sig_ds`` is consumed twice and
-    is materialized here; at corpus scale signatures are a compact derived
-    artifact (num_perm × 8 B/doc) that the scale path would checkpoint to
-    parquet anyway.
+    Scale shape (no driver materialization anywhere):
+
+    - only slim ``(id, band, band_hash)`` rows ride the band exchange —
+      the full signature (the widest column) does NOT get ×num_bands
+      amplification;
+    - a hot band bucket (a flood of identical documents — the normal
+      web-crawl case) is emitted in id-sorted CHUNKS of
+      ``max_bucket_size`` with one-doc overlap, bounding the per-bucket
+      pair count at O(bucket · chunk) instead of O(bucket²) while keeping
+      the duplicate run CONNECTED for downstream clustering (same
+      treatment as ``embedding_neardup_pairs``);
+    - the candidate list stays a Dataset: signatures are re-attached via
+      two bucketed hash joins (``_attach_value``), and the Jaccard
+      estimate is one vectorized ``(n_pairs × num_perm)`` numpy compare
+      per batch — no per-pair Python.
+
+    ``sig_ds`` is consumed three times and is materialized here; at
+    corpus scale signatures are a compact derived artifact
+    (num_perm × 8 B/doc) the scale path would checkpoint to parquet.
 
     Output: (a, b, est_jaccard) with a < b, sorted ids.
     """
     import pandas as pd
-    import ray
 
     sig_ds = sig_ds.materialize()
 
@@ -166,70 +260,88 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_bands: int = 32,
                 rows_id.append(i)
                 rows_band.append(band)
                 rows_bh.append(_hash64(chunk.tobytes()))
+        # the exchange groups by a BOUNDED bucket of the (band, band_hash)
+        # key, not the key itself: one pandas call per (band, hash) would
+        # be one call per document×band — the map_groups-cardinality trap
+        bh = np.asarray(rows_bh, dtype=np.uint64)
+        bucket = ((bh ^ (np.asarray(rows_band, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
+                  & np.uint64(num_buckets - 1)).astype(np.int32)
         return pa.Table.from_pydict({
             id_col: pa.array(rows_id),
             "band": pa.array(rows_band, type=pa.int32()),
-            "band_hash": pa.array(rows_bh, type=pa.uint64()),
+            "band_hash": pa.array(bh, type=pa.uint64()),
+            "bucket": pa.array(bucket, type=pa.int32()),
         })
 
-    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        ids = sorted(g[id_col].tolist())
-        rows = {"a": [], "b": []}
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                rows["a"].append(ids[i])
-                rows["b"].append(ids[j])
-        return pd.DataFrame(rows)
+    def _allpairs(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        ai, bi = np.triu_indices(len(ids), k=1)
+        return ids[ai], ids[bi]
 
-    from ray.data.aggregate import Count
+    def _capped_pairs(ids: np.ndarray, out_a: list, out_b: list) -> None:
+        ids = np.sort(ids)
+        if len(ids) <= max_bucket_size:
+            a, b = _allpairs(ids)
+            out_a.append(a)
+            out_b.append(b)
+            return
+        step = max_bucket_size - 1  # one-doc overlap chains the chunks
+        for start in range(0, len(ids) - 1, step):
+            a, b = _allpairs(ids[start:start + max_bucket_size])
+            out_a.append(a)
+            out_b.append(b)
+
+    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64")})
+        # vectorized pre-filter: only (band, band_hash) groups with ≥2
+        # members can emit pairs — the Python loop below runs per
+        # *collision group*, bounded by the near-duplicate count, not the
+        # corpus
+        g = g[g.duplicated(["band", "band_hash"], keep=False)]
+        if g.empty:
+            return empty
+        out_a: list = []
+        out_b: list = []
+        for _, sub in g.groupby(["band", "band_hash"], sort=False):
+            _capped_pairs(sub[id_col].to_numpy(), out_a, out_b)
+        df = pd.DataFrame({"a": np.concatenate(out_a),
+                           "b": np.concatenate(out_b)}).astype("int64")
+        # overlap chunks and multi-band collisions inside one bucket can
+        # repeat a pair; local dedup before the (a, b) exchange
+        return df.drop_duplicates(["a", "b"])
 
     cand = (sig_ds.map_batches(_explode, batch_format="pyarrow")
-            .groupby(["band", "band_hash"])
-            .map_groups(_bucket_pairs, batch_format="pandas")
-            .groupby(["a", "b"]).aggregate(Count(alias_name="n_bands")))
+            .groupby("bucket", num_partitions=num_buckets)
+            .map_groups(_bucket_pairs, batch_format="pandas"))
 
-    cand_df = cand.to_pandas()  # |candidates| ≪ corpus by the LSH contract
-    if cand_df.empty:
-        import ray.data as rd
+    # the same pair found in several bands lands in several band-buckets;
+    # the first signature join (keyed by `a`) doubles as the global pair
+    # dedup — no separate groupby-(a, b) exchange
+    sig_t = pa.list_(pa.uint64())
+    j1 = _attach_value(cand, {"a": pa.int64(), "b": pa.int64()},
+                       sig_ds, "a", id_col, "signature", "sig_a", sig_t,
+                       num_buckets=num_buckets, dedup_pairs=True)
+    j2 = _attach_value(j1, {"a": pa.int64(), "b": pa.int64(), "sig_a": sig_t},
+                       sig_ds, "b", id_col, "signature", "sig_b", sig_t,
+                       num_buckets=num_buckets)
 
-        return rd.from_pandas(pd.DataFrame(
-            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
-             "est_jaccard": pd.Series([], dtype="float64")}))
-    doc_to_pairs: dict = {}
-    for idx, row in enumerate(cand_df.itertuples()):
-        doc_to_pairs.setdefault(row.a, []).append(idx)
-        doc_to_pairs.setdefault(row.b, []).append(idx)
-    ref = ray.put(doc_to_pairs)
+    def _estimate(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64"),
+                              "est_jaccard": pd.Series([], dtype="float64")})
+        if batch.empty:
+            return empty
+        sa = np.stack([np.asarray(s, dtype=np.uint64) for s in batch["sig_a"]])
+        sb = np.stack([np.asarray(s, dtype=np.uint64) for s in batch["sig_b"]])
+        est = (sa == sb).mean(axis=1)
+        keep = est >= threshold
+        if not keep.any():
+            return empty
+        out = batch.loc[keep, ["a", "b"]].reset_index(drop=True)
+        out["est_jaccard"] = est[keep]
+        return out
 
-    def _emit(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(ref)
-        out_pid, out_id, out_sig = [], [], []
-        for i, sig in zip(batch[id_col].to_pylist(),
-                          batch["signature"].to_pylist()):
-            for pid in lookup.get(i, ()):
-                out_pid.append(pid)
-                out_id.append(i)
-                out_sig.append(sig)
-        return pa.Table.from_pydict({
-            "pair_id": pa.array(out_pid, type=pa.int64()),
-            id_col: pa.array(out_id),
-            "signature": pa.array(out_sig, type=pa.list_(pa.uint64()))})
-
-    def _estimate(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) != 2:
-            return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
-        g = g.sort_values(id_col)
-        s1, s2 = (np.asarray(s, dtype=np.uint64) for s in g["signature"])
-        est = float(np.mean(s1 == s2))
-        if est < threshold:
-            return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
-        ids = g[id_col].tolist()
-        return pd.DataFrame({"a": [ids[0]], "b": [ids[1]], "est_jaccard": [est]})
-
-    return (sig_ds.map_batches(_emit, batch_format="pyarrow")
-            .groupby("pair_id").map_groups(_estimate, batch_format="pandas"))
+    return j2.map_batches(_estimate, batch_format="pandas")
 
 
 def ngram_jaccard_allpairs(ds, col: str = "text", id_col: str = "doc_id",
@@ -284,49 +396,57 @@ def ngram_jaccard_allpairs(ds, col: str = "text", id_col: str = "doc_id",
 
 
 def verify_jaccard_pairs(ds, pairs_ds, col: str = "text", id_col: str = "doc_id",
-                         ngram: int = 3, threshold: float = 0.5):
-    """Exact n-gram-Jaccard verification of candidate pairs, distributed:
-    the (small) pair list is broadcast; each doc batch emits
-    (pair_id, shingles) rows only for docs that appear in a pair;
-    ``groupby(pair)`` computes the exact Jaccard from the two sets."""
+                         ngram: int = 3, threshold: float = 0.5,
+                         num_buckets: int = 64):
+    """Exact n-gram-Jaccard verification of candidate pairs, distributed
+    end-to-end: per-doc shingle sets are computed in one vectorized pass
+    (the same per-doc cost MinHash already paid), re-attached to the pair
+    list via two bucketed hash joins (``_attach_value`` — the candidate
+    list never touches the driver), and the exact Jaccard is computed per
+    candidate row with C-speed ``np.intersect1d`` over the sorted hash
+    arrays.  Pairs referencing missing docs drop out of the inner join
+    (same semantics as the old grouped formulation)."""
     import pandas as pd
-    import ray
 
-    pairs = pairs_ds.to_pandas()
-    doc_to_pairs: dict = {}
-    for idx, row in pairs.iterrows():
-        doc_to_pairs.setdefault(row["a"], []).append(idx)
-        doc_to_pairs.setdefault(row["b"], []).append(idx)
-    ref = ray.put(doc_to_pairs)
+    def _shingles(batch: pa.Table) -> pa.Table:
+        sh = [shingle_hashes(t or "", ngram=ngram).tolist()
+              for t in batch[col].to_pylist()]
+        return pa.table({
+            id_col: batch[id_col],
+            "shingles": pa.array(sh, type=pa.list_(pa.uint64()))})
 
-    def _emit(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(ref)
-        out = {"pair_id": [], id_col: [], "shingles": []}
-        for i, text in zip(batch[id_col].to_pylist(), batch[col].to_pylist()):
-            for pair_id in lookup.get(i, ()):
-                out["pair_id"].append(pair_id)
-                out[id_col].append(i)
-                out["shingles"].append(shingle_hashes(text or "", ngram=ngram).tolist())
-        return pa.Table.from_pydict({
-            "pair_id": pa.array(out["pair_id"], type=pa.int64()),
-            id_col: pa.array(out[id_col]),
-            "shingles": pa.array(out["shingles"], type=pa.list_(pa.uint64())),
-        })
+    sh_ds = ds.map_batches(_shingles, batch_format="pyarrow")
+    slim = pairs_ds.map_batches(
+        lambda b: pa.table({"a": b["a"], "b": b["b"]}), batch_format="pyarrow")
+    sh_t = pa.list_(pa.uint64())
+    j1 = _attach_value(slim, {"a": pa.int64(), "b": pa.int64()},
+                       sh_ds, "a", id_col, "shingles", "sh_a", sh_t,
+                       num_buckets=num_buckets)
+    j2 = _attach_value(j1, {"a": pa.int64(), "b": pa.int64(), "sh_a": sh_t},
+                       sh_ds, "b", id_col, "shingles", "sh_b", sh_t,
+                       num_buckets=num_buckets)
 
-    def _jaccard(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) != 2:
-            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-        g = g.sort_values(id_col)
-        s1, s2 = (set(x) for x in g["shingles"])
-        union = len(s1 | s2)
-        j = (len(s1 & s2) / union) if union else 1.0
-        ids = g[id_col].tolist()
-        if j < threshold:
-            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-        return pd.DataFrame({"a": [ids[0]], "b": [ids[1]], "jaccard": [j]})
+    def _jaccard(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64"),
+                              "jaccard": pd.Series([], dtype="float64")})
+        if batch.empty:
+            return empty
+        jacs = np.empty(len(batch), dtype=np.float64)
+        for i, (s1, s2) in enumerate(zip(batch["sh_a"], batch["sh_b"])):
+            s1 = np.asarray(s1, dtype=np.uint64)
+            s2 = np.asarray(s2, dtype=np.uint64)
+            inter = np.intersect1d(s1, s2, assume_unique=True).size
+            union = s1.size + s2.size - inter
+            jacs[i] = (inter / union) if union else 1.0
+        keep = jacs >= threshold
+        if not keep.any():
+            return empty
+        out = batch.loc[keep, ["a", "b"]].reset_index(drop=True)
+        out["jaccard"] = jacs[keep]
+        return out
 
-    return (ds.map_batches(_emit, batch_format="pyarrow")
-            .groupby("pair_id").map_groups(_jaccard, batch_format="pandas"))
+    return j2.map_batches(_jaccard, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -355,10 +475,23 @@ def simhash_signatures(ds, col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(_sig, batch_format="pyarrow")
 
 
-def simhash_candidate_pairs(sig_ds, id_col: str = "doc_id", max_hamming: int = 3):
+def _popcount64(arr: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a uint64 array (numpy<2 has no bit_count)."""
+    v = np.ascontiguousarray(arr, dtype=np.uint64).view(np.uint8)
+    return np.unpackbits(v).reshape(-1, 64).sum(axis=1).astype(np.int64)
+
+
+def simhash_candidate_pairs(sig_ds, id_col: str = "doc_id", max_hamming: int = 3,
+                            max_bucket_size: int = 4096, num_buckets: int = 64):
     """Pigeonhole banding: split 64 bits into 4×16-bit chunks — any pair
-    within Hamming distance ≤ 3 shares at least one exact chunk; verify the
-    distance in-bucket."""
+    within Hamming distance ≤ 3 shares at least one exact chunk; verify
+    the distance in-bucket with a vectorized popcount.
+
+    Same scale shape as ``lsh_candidate_pairs``: the exchange groups by a
+    BOUNDED bucket of the (band, chunk) key (not the key itself — that is
+    one pandas call per document×band), collision groups are found with a
+    vectorized ``duplicated`` prefilter, and a flood of identical
+    signatures is emitted in capped chunks with one-doc overlap."""
     import pandas as pd
 
     def _explode(batch: pa.Table) -> pa.Table:
@@ -371,31 +504,57 @@ def simhash_candidate_pairs(sig_ds, id_col: str = "doc_id", max_hamming: int = 3
                 out["band"].append(band)
                 out["chunk"].append((s >> (16 * band)) & 0xFFFF)
                 out["simhash"].append(s)
+        chunk = np.asarray(out["chunk"], dtype=np.uint64)
+        band = np.asarray(out["band"], dtype=np.uint64)
+        bucket = ((chunk ^ (band * np.uint64(0x9E3779B97F4A7C15)))
+                  & np.uint64(num_buckets - 1)).astype(np.int32)
         return pa.Table.from_pydict({
             id_col: pa.array(out[id_col]),
             "band": pa.array(out["band"], type=pa.int32()),
             "chunk": pa.array(out["chunk"], type=pa.int32()),
-            "simhash": pa.array(out["simhash"], type=pa.uint64())})
+            "simhash": pa.array(out["simhash"], type=pa.uint64()),
+            "bucket": pa.array(bucket, type=pa.int32())})
+
+    def _emit(ids: np.ndarray, sigs: np.ndarray,
+              rows_a: list, rows_b: list, rows_d: list) -> None:
+        order = np.argsort(ids, kind="stable")
+        ids, sigs = ids[order], sigs[order]
+        n = len(ids)
+        spans = ([(0, n)] if n <= max_bucket_size else
+                 [(s, min(s + max_bucket_size, n))
+                  for s in range(0, n - 1, max_bucket_size - 1)])
+        for lo, hi in spans:
+            ai, bi = np.triu_indices(hi - lo, k=1)
+            d = _popcount64(sigs[lo + ai] ^ sigs[lo + bi])
+            keep = (d <= max_hamming) & (ids[lo + ai] != ids[lo + bi])
+            rows_a.append(ids[lo + ai][keep])
+            rows_b.append(ids[lo + bi][keep])
+            rows_d.append(d[keep])
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []})
-        g = g.sort_values(id_col)
-        ids, sigs = g[id_col].tolist(), g["simhash"].tolist()
-        rows = {"a": [], "b": [], "hamming": []}
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = bin(int(sigs[i]) ^ int(sigs[j])).count("1")
-                if d <= max_hamming and ids[i] != ids[j]:
-                    rows["a"].append(ids[i])
-                    rows["b"].append(ids[j])
-                    rows["hamming"].append(d)
-        return pd.DataFrame(rows)
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64"),
+                              "hamming": pd.Series([], dtype="int64")})
+        g = g[g.duplicated(["band", "chunk"], keep=False)]
+        if g.empty:
+            return empty
+        rows_a: list = []
+        rows_b: list = []
+        rows_d: list = []
+        for _, sub in g.groupby(["band", "chunk"], sort=False):
+            _emit(sub[id_col].to_numpy(),
+                  sub["simhash"].to_numpy(dtype=np.uint64), rows_a, rows_b, rows_d)
+        df = pd.DataFrame({"a": np.concatenate(rows_a),
+                           "b": np.concatenate(rows_b),
+                           "hamming": np.concatenate(rows_d)})
+        return (df.astype({"a": "int64", "b": "int64", "hamming": "int64"})
+                .drop_duplicates(["a", "b"]))
 
     from ray.data.aggregate import Min
 
     pairs = (sig_ds.map_batches(_explode, batch_format="pyarrow")
-             .groupby(["band", "chunk"]).map_groups(_pairs, batch_format="pandas"))
+             .groupby("bucket", num_partitions=num_buckets)
+             .map_groups(_pairs, batch_format="pandas"))
     return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 

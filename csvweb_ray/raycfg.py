@@ -39,6 +39,13 @@ def _patch_sort_partitioning() -> None:
     global _PATCHED
     if _PATCHED:
         return
+    import ray
+
+    # coupled to Ray 2.x internals — skip (keeping the slow original) on
+    # any other major version rather than patching blind
+    if not ray.__version__.startswith("2."):
+        _PATCHED = True
+        return
     import numpy as np
     from ray.data._internal import table_block
 
@@ -47,24 +54,46 @@ def _patch_sort_partitioning() -> None:
     def fast(self, boundaries, sort_key):
         columns = sort_key.get_columns()
         descending = sort_key.get_descending()
+        nkeys = len(columns)
         simple = (
-            len(descending) >= 1 and not descending[0]
-            and all(isinstance(b, tuple) and len(b) == 1
-                    and b[0] is not None for b in boundaries))
+            nkeys >= 1 and not any(descending)
+            and all(isinstance(b, tuple) and len(b) == nkeys
+                    and all(v is not None for v in b) for b in boundaries))
         if not simple:
             return orig(self, boundaries, sort_key)
         try:
-            col = self._table[columns[0]].to_numpy()
+            cols = []
+            for c in columns:
+                arr = self._table[c]
+                if getattr(arr, "null_count", 0):  # nulls break searchsorted
+                    return orig(self, boundaries, sort_key)
+                cols.append(arr.to_numpy())
+            partitions = []
+            last_idx = 0
+            if nkeys == 1:
+                for boundary in boundaries:
+                    idx = int(np.searchsorted(cols[0], boundary[0], side="left"))
+                    partitions.append(self._table[last_idx:idx])
+                    last_idx = idx
+            else:
+                # multi-key ascending: binary search with lazy tuple
+                # compares — O(B log N) instead of the original's
+                # per-boundary whole-column to_numpy (O(B·N))
+                n = len(cols[0])
+                for boundary in boundaries:
+                    lo, hi = last_idx, n
+                    while lo < hi:
+                        mid = (lo + hi) // 2
+                        if tuple(c[mid] for c in cols) < boundary:
+                            lo = mid + 1
+                        else:
+                            hi = mid
+                    partitions.append(self._table[last_idx:lo])
+                    last_idx = lo
+            partitions.append(self._table[last_idx:])
+            return partitions
         except Exception:  # noqa: BLE001 - exotic column types → original
             return orig(self, boundaries, sort_key)
-        partitions = []
-        last_idx = 0
-        for boundary in boundaries:
-            idx = int(np.searchsorted(col, boundary[0], side="left"))
-            partitions.append(self._table[last_idx:idx])
-            last_idx = idx
-        partitions.append(self._table[last_idx:])
-        return partitions
 
     table_block.TableBlockAccessor._find_partitions_sorted = fast
     _PATCHED = True

@@ -241,6 +241,62 @@ def test_embedding_neardup_hot_bucket_cap(ray_session):
     assert keep == {0}
 
 
+def test_minhash_hot_bucket_cap(ray_session):
+    """Adversarial duplicate flood: n identical docs put ALL of them into
+    one (band, band_hash) bucket in every band.  The chunk-with-overlap
+    cap must emit O(n·chunk) pairs — not the O(n²·bands) all-pairs flood —
+    while keeping the duplicate run connected so the clustering keep-set
+    is identical to the uncapped answer."""
+    import ray.data as rd
+
+    from csvweb_ray.ops.dedup import (
+        dedup_keep_ids,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    n = 60
+    rows = [{"doc_id": i, "text": "the same duplicated crawl page content"}
+            for i in range(n)]
+    sigs = minhash_signatures(rd.from_arrow(pa.Table.from_pylist(rows)),
+                              num_perm=32, ngram=2)
+    pairs = lsh_candidate_pairs(sigs, num_bands=8, threshold=0.5,
+                                max_bucket_size=8).to_pandas()
+    assert 0 < len(pairs) < n * (n - 1) // 2       # capped, not all-pairs
+    assert (pairs.est_jaccard == 1.0).all()
+    keep = dedup_keep_ids(range(n), list(zip(pairs.a, pairs.b)))
+    assert keep == {0}                              # connectivity preserved
+
+
+def test_exact_dedup_dup_heavy(ray_session):
+    """Duplicate-heavy corpus with high distinct-hash cardinality: the
+    bucketed exchange must keep exactly one (min-id) row per distinct
+    text at any block layout."""
+    import ray.data as rd
+
+    from csvweb_ray.ops.dedup import exact_dedup
+
+    rows = [{"doc_id": i, "text": f"unique doc {i % 400}"} for i in range(1200)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(7)
+    out = exact_dedup(ds).to_pandas()
+    assert sorted(out.doc_id) == sorted(range(400))  # min id per text
+
+
+def test_verify_jaccard_empty_candidates(ray_session):
+    """A zero-candidate LSH result must flow through the bucketed verify
+    join without driver special-casing."""
+    import pandas as pd
+    import ray.data as rd
+
+    from csvweb_ray.ops.dedup import verify_jaccard_pairs
+
+    docs = _docs(ray_session, DOCS)
+    empty = rd.from_pandas(pd.DataFrame(
+        {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}))
+    out = verify_jaccard_pairs(docs, empty).to_pandas()
+    assert len(out) == 0
+
+
 def test_auto_num_planes_scales():
     from csvweb_ray.ops.dedup import auto_num_planes
 
