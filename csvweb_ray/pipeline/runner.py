@@ -124,20 +124,34 @@ def _save_manifest(path: str, manifest: dict) -> None:
     os.replace(tmp, path)
 
 
-def _input_fingerprint(ds) -> dict[int, str]:
+def _input_fingerprint(ds, wellknown: dict[str, str] | None = None) -> dict[int, str]:
     """Order-insensitive per-shard fingerprint: XOR of per-file
-    ``sha256(repo|path|commit)`` digests plus a file count.  Uses the
-    commit id as the content identity (immutable in a code corpus), so the
-    fingerprint pass never reads the ``content`` column — column pruning
-    makes resume-detection nearly free even at corpus scale.
+    ``sha256(repo|path|commit|wellknown-digest)`` digests plus a file
+    count.  Uses the commit id as the content identity (immutable in a
+    code corpus), so the fingerprint pass never reads the ``content``
+    column — column pruning makes resume-detection nearly free even at
+    corpus scale.
+
+    The repo's ``.well-known/csvm`` template list drives pairing for
+    EVERY directory of that repo, so its content digest is mixed into
+    every file digest of the repo — editing the wellknown file
+    invalidates all of the repo's shards on resume, not just the one
+    shard that happens to contain ``.well-known``.
 
     Fully distributed: each batch reduces to at most ``num_shards``
     partial (shard, xor, count) rows (XOR is associative/commutative), the
     grouped reduce sees one group per SHARD (bounded by configuration, not
-    corpus size), and only ``num_shards`` rows reach the driver."""
+    corpus size), and only ``num_shards`` rows reach the driver.  The xor
+    travels as a fixed-width HEX STRING: a bare uint64-range Python int in
+    one group next to an int64-range one in another promotes the concat
+    column to float64 and silently truncates the low bits, making resume
+    fingerprints block-layout-dependent."""
     import hashlib
 
     import pandas as pd
+
+    wk_digest = {r: hashlib.sha256((c or "").encode()).hexdigest()[:16]
+                 for r, c in (wellknown or {}).items()}
 
     def _partial(batch: pa.Table) -> pa.Table:
         acc: dict[int, int] = {}
@@ -145,28 +159,29 @@ def _input_fingerprint(ds) -> dict[int, str]:
         for s, r, p, h in zip(batch["shard"].to_pylist(), batch["repo"].to_pylist(),
                               batch["path"].to_pylist(),
                               batch["commit"].to_pylist()):
-            d = int(hashlib.sha256(f"{r}|{p}|{h}".encode()).hexdigest()[:16], 16)
+            wk = wk_digest.get(r, "")
+            d = int(hashlib.sha256(f"{r}|{p}|{h}|{wk}".encode()).hexdigest()[:16], 16)
             acc[s] = acc.get(s, 0) ^ d
             counts[s] = counts.get(s, 0) + 1
         shards = sorted(acc)
         return pa.table({
             "shard": pa.array(shards, type=pa.int32()),
-            "xor": pa.array([acc[s] for s in shards], type=pa.uint64()),
+            "xor": pa.array([f"{acc[s]:016x}" for s in shards], type=pa.string()),
             "count": pa.array([counts[s] for s in shards], type=pa.int64())})
 
     def _reduce(g: pd.DataFrame) -> pd.DataFrame:
         x = 0
         for v in g["xor"]:
-            x ^= int(v)
+            x ^= int(v, 16)
         return pd.DataFrame({"shard": [int(g["shard"].iloc[0])],
-                             "xor": [x], "count": [int(g["count"].sum())]})
+                             "xor": [f"{x:016x}"], "count": [int(g["count"].sum())]})
 
     parts = (ds.select_columns(["shard", "repo", "path", "commit"])
              .map_batches(_partial, batch_format="pyarrow")
              .groupby("shard").map_groups(_reduce, batch_format="pandas"))
     out: dict[int, str] = {}
     for row in parts.take_all():
-        out[int(row["shard"])] = f"{int(row['count'])}:{int(row['xor']):016x}"
+        out[int(row["shard"])] = f"{int(row['count'])}:{row['xor']}"
     return out
 
 
@@ -224,8 +239,13 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
     else:
         slim_cols = [c for c in want if c in source.schema().names]
         slim = source.select_columns(slim_cols)
+    # wellknown templates are collected BEFORE fingerprinting — their
+    # digest participates in every file fingerprint of the owning repo
+    # (see _input_fingerprint); the collection itself is a pushed-down
+    # pruned scan over a rare tiny file, cheap at any corpus size
+    wellknown = _collect_wellknown(source)
     fingerprints = _input_fingerprint(
-        _add_shard(filter_candidates(slim), num_shards))
+        _add_shard(filter_candidates(slim), num_shards), wellknown)
     _mark("fingerprint")
 
     # --- resume bookkeeping over wave directories -----------------------
@@ -264,7 +284,6 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
     pending = [s for s in sorted(fingerprints)
                if str(s) not in manifest["shards"]]
 
-    wellknown = _collect_wellknown(source) if pending else {}
     wave_size = shards_per_wave or max(1, len(pending))
     for i in range(0, len(pending), wave_size):
         wave = wave_list = pending[i:i + wave_size]

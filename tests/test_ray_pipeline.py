@@ -348,6 +348,84 @@ def test_resume_drops_shards_with_removed_inputs(ray_session, tmp_path):
     assert "kept" in vals and "gone" not in vals
 
 
+def test_fingerprint_layout_invariant_and_wellknown_mixed(ray_session):
+    """The per-shard XOR fingerprint must be independent of the block
+    layout (regression: a uint64-range xor in one group next to an
+    int64-range one promoted the concat column to float64, truncating the
+    low bits), and the repo's .well-known/csvm digest must participate in
+    EVERY shard fingerprint of that repo — not just the shard holding the
+    wellknown file."""
+    import ray.data as rd
+
+    from csvweb_ray.pipeline.runner import _add_shard, _input_fingerprint
+
+    import pyarrow as _pa
+
+    rows = [{"repo": f"r/{'ab'[i % 2]}", "path": f"d{i}/f.csv",
+             "commit": f"{i:040x}", "lang": "csv"} for i in range(60)]
+    t = _pa.Table.from_pylist(rows)
+    n = 8
+
+    def fp(k, wellknown=None):
+        ds = _add_shard(rd.from_arrow(t).repartition(k), n)
+        return _input_fingerprint(ds, wellknown)
+
+    base = fp(1)
+    assert fp(10) == base  # layout invariance (float64 truncation trap)
+
+    wk = fp(10, wellknown={"r/a": "{+url}-metadata.json"})
+    from csvweb_ray.pipeline.runner import shard_of
+
+    a_shards = {shard_of("r/a", f"d{i}", n) for i in range(0, 60, 2)}
+    b_only = {s for s in base
+              if s not in a_shards}
+    assert all(wk[s] != base[s] for s in a_shards)   # every r/a shard moves
+    assert all(wk[s] == base[s] for s in b_only)     # r/b shards untouched
+
+
+def test_wellknown_change_invalidates_whole_repo(ray_session, tmp_path):
+    """Editing a repo's .well-known/csvm template list must re-run ALL of
+    the repo's shards on resume: the templates drive metadata discovery
+    for every directory, so stale shards would keep triples converted
+    with the old template list."""
+    import ray.data as rd
+
+    from csvweb_ray.pipeline.runner import run_kg_pipeline, shard_of
+
+    meta = ('{"@context": "http://www.w3.org/ns/csvw", "url": "data.csv",'
+            ' "tableSchema": {"columns": [{"name": "id", "titles": "id"},'
+            ' {"name": "v", "titles": "v", "propertyUrl":'
+            ' "http://ex.org/withmeta"}]}}')
+    repo, n = "r/wk", 16
+    # precondition making the test meaningful: the data dir's shard is NOT
+    # the shard holding the wellknown file
+    assert shard_of(repo, "d1", n) != shard_of(repo, ".well-known", n)
+
+    def rows(wk_content, wk_commit):
+        return [
+            {"repo": repo, "path": ".well-known/csvm", "commit": wk_commit,
+             "lang": "text", "content": wk_content},
+            {"repo": repo, "path": "d1/data.csv", "commit": "a" * 40,
+             "lang": "csv", "content": "id,v\n1,x\n"},
+            {"repo": repo, "path": "d1/csvm.json", "commit": "b" * 40,
+             "lang": "json", "content": meta},
+        ]
+
+    out = str(tmp_path / "out")
+    run_kg_pipeline(rows_to_table(rows("csvm.json", "1" * 40)), out,
+                    num_shards=n)
+    first = rd.read_parquet(os.path.join(out, "final")).to_pandas()
+    assert first.pred.str.contains("withmeta").any()  # metadata discovered
+
+    # wellknown no longer lists csvm.json; d1's own files are UNCHANGED,
+    # so only the wellknown digest can invalidate d1's shard
+    run_kg_pipeline(rows_to_table(rows("nope.json", "2" * 40)), out,
+                    num_shards=n)
+    second = rd.read_parquet(os.path.join(out, "final")).to_pandas()
+    assert len(second) > 0
+    assert not second.pred.str.contains("withmeta").any()
+
+
 def test_zero_triple_corpus_with_linking(ray_session, tmp_path):
     """A corpus whose files convert to zero triples must complete cleanly
     with linking enabled (regression: the old post-dedup linking path
