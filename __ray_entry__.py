@@ -607,6 +607,69 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_digits * 1000 // greatest(n_chars, 1) AS BIGINT)
                        AS digit_permille
             FROM m ORDER BY doc_id""",
+        # mirrors ops.text.LangId exactly: ASCII [a-z]+ tokens of the
+        # lowercased text, score = stopword_hits/n_words (+0.05 char
+        # hint), ties break alphabetically, <= 0.02 or no words -> 'und'.
+        # Double arithmetic is identical on both engines (one division,
+        # one addition), and the compared output is integer counts.
+        "lang_id": """
+            WITH w AS (
+              SELECT doc_id, coalesce(text, '') AS t,
+                     regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')
+                         AS words
+              FROM documents),
+            m AS (
+              SELECT doc_id, t, len(words) AS nw,
+                len(list_filter(words, x -> list_contains(
+                    ['the','and','of','to','a','in','is','it','that','for',
+                     'was','on','are','with','as','this','be','at','have'],
+                    x))) AS h_en,
+                len(list_filter(words, x -> list_contains(
+                    ['der','die','das','und','ist','ich','nicht','ein',
+                     'eine','mit','auf','für','den','von','zu','im','sich'],
+                    x))) AS h_de,
+                len(list_filter(words, x -> list_contains(
+                    ['le','la','les','et','est','un','une','des','du','que',
+                     'qui','dans','pour','pas','sur','avec','au'],
+                    x))) AS h_fr,
+                len(list_filter(words, x -> list_contains(
+                    ['el','la','los','las','y','es','un','una','de','que',
+                     'en','no','se','por','con','para','su'],
+                    x))) AS h_es,
+                len(list_filter(words, x -> list_contains(
+                    ['il','la','le','e','è','un','una','di','che','non',
+                     'per','con','del','si','sono','come'],
+                    x))) AS h_it
+              FROM w),
+            s AS (
+              SELECT doc_id, nw, l.lang,
+                CASE l.lang
+                  WHEN 'de' THEN h_de * 1.0 / greatest(nw, 1)
+                       + CASE WHEN regexp_matches(t, '[äöüß]')
+                              THEN 0.05 ELSE 0.0 END
+                  WHEN 'en' THEN h_en * 1.0 / greatest(nw, 1)
+                  WHEN 'es' THEN h_es * 1.0 / greatest(nw, 1)
+                       + CASE WHEN regexp_matches(t, '[áéíóúñ¿¡]')
+                              THEN 0.05 ELSE 0.0 END
+                  WHEN 'fr' THEN h_fr * 1.0 / greatest(nw, 1)
+                       + CASE WHEN regexp_matches(t, '[àâçéèêëîïôûù]')
+                              THEN 0.05 ELSE 0.0 END
+                  WHEN 'it' THEN h_it * 1.0 / greatest(nw, 1)
+                       + CASE WHEN regexp_matches(t, '[àèéìòù]')
+                              THEN 0.05 ELSE 0.0 END
+                END AS score
+              FROM m, (VALUES ('de'), ('en'), ('es'), ('fr'), ('it')) l(lang)),
+            b AS (
+              SELECT doc_id, nw, lang, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, lang) AS rn
+              FROM s),
+            p AS (
+              SELECT CASE WHEN nw = 0 OR score <= 0.02 THEN 'und'
+                          ELSE lang END AS lang_pred
+              FROM b WHERE rn = 1)
+            SELECT lang_pred, count(*) AS n_docs FROM p
+            GROUP BY lang_pred ORDER BY lang_pred""",
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                        FROM embeddings WHERE vec_id < 4),

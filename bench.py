@@ -37,7 +37,8 @@ CORPUS_CACHE = f"/tmp/csvweb_bench_corpus_{N_FILES}x{ROWS_PER_FILE}.parquet"
 BENCH_QUERIES = [
     "filter_scan", "groupby_agg", "broadcast_join", "hash_join",
     "dedup_first", "sort_topk", "window_tumbling", "asof_join",
-    "exact_dedup", "token_count", "minhash_pairs", "ann_topk",
+    "exact_dedup", "token_count", "quality_score", "minhash_pairs",
+    "ann_topk",
 ]
 
 

@@ -1,8 +1,20 @@
 """Text-analysis operators over a documents table.
 
 All are single-pass ``map_batches`` transforms; the language-ID stage is a
-callable class (actor pool) because it holds compiled regexes and stopword
-tables — built once per actor in ``__init__``, used per batch.
+callable class (actor pool) because it holds token tables and compiled
+hint patterns — built once per actor in ``__init__``, used per batch.
+
+Hot-path counters are Arrow compute kernels (``count_substring_regex``,
+``split_pattern_regex`` + ``is_in`` + a bincount reduce) — no per-row
+Python in the scoring loop; at corpus scale the quality filter IS the
+pipeline, so a ``.map(lambda)`` here would dominate the whole run.
+
+Tokenization is deliberately **ASCII** (``[a-z]+`` over lowercased text):
+it makes the counters bit-identical to the RE2/DuckDB oracle expressions
+(`regexp_extract_all(lower(text), '[a-z]+')`), the same explicit
+RE2-parity choice ``ops.dedup.ngram_jaccard_allpairs`` documents.  Python
+``re``'s Unicode ``[^\\W\\d_]`` / ``str.isdigit()`` count differently on
+non-ASCII text and made oracle parity charset-fragile.
 """
 
 from __future__ import annotations
@@ -13,30 +25,39 @@ import struct
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = ["token_count", "quality_score", "LangId", "lang_id", "fingerprint"]
 
 #: BPE-ish word splitter: letter runs, digit runs, single punctuation —
 #: close to the GPT-2 pre-tokenizer's coarse classes, regex-only.
-_BPEISH = re.compile(r"[A-Za-zÀ-ɏ]+|\d+|[^\sA-Za-zÀ-ɏ\d]")
-_WS = re.compile(r"\s+")
+#: (RE2-compatible: used both by Python re here and Arrow kernels.)
+_BPEISH_PAT = r"[A-Za-zÀ-ɏ]+|[0-9]+|[^\sA-Za-zÀ-ɏ0-9]"
+_BPEISH = re.compile(_BPEISH_PAT)
+
+
+def _per_list_sum(lists: pa.Array, flags: np.ndarray, n: int) -> np.ndarray:
+    """Sum ``flags`` (one per flattened list element) back to one value
+    per list row — the vectorized 'count matching tokens per document'
+    reduce shared by quality_score and LangId."""
+    if len(flags) == 0:
+        return np.zeros(n, dtype=np.int64)
+    parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    return np.bincount(parent, weights=flags, minlength=n).astype(np.int64)
 
 
 def token_count(ds, col: str = "text"):
     """Adds ``ws_tokens`` (whitespace tokens — SQL-checkable) and
-    ``bpe_tokens`` (regex pre-tokenizer count)."""
-    import pandas as pd
+    ``bpe_tokens`` (regex pre-tokenizer count).  Pure Arrow kernels."""
 
-    def _count(batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch[col].fillna("")
-        stripped = text.str.strip()
-        batch["ws_tokens"] = np.where(
-            stripped == "", 0, stripped.str.split(_WS).str.len())
-        batch["ws_tokens"] = batch["ws_tokens"].astype("int64")
-        batch["bpe_tokens"] = text.map(lambda t: len(_BPEISH.findall(t))).astype("int64")
-        return batch
+    def _count(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch[col], "")
+        ws = pc.count_substring_regex(t, pattern=r"\S+").cast(pa.int64())
+        bpe = pc.count_substring_regex(t, pattern=_BPEISH_PAT).cast(pa.int64())
+        batch = batch.append_column("ws_tokens", ws)
+        return batch.append_column("bpe_tokens", bpe)
 
-    return ds.map_batches(_count, batch_format="pandas")
+    return ds.map_batches(_count, batch_format="pyarrow")
 
 
 _STOPWORDS = {
@@ -56,88 +77,134 @@ _STOPWORDS = {
 def quality_score(ds, col: str = "text"):
     """Deterministic quality heuristics: char/word counts, punctuation /
     digit / uppercase ratios, stopword ratio (en), mean word length, and a
-    composite ``quality`` in [0,1] (C4/Gopher-style filters, regex-only)."""
-    import pandas as pd
+    composite ``quality`` in [0,1] (C4/Gopher-style filters, regex-only).
 
-    word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
-    punct_re = re.compile(r"[.!?]")
-    en_stop = _STOPWORDS["en"]
+    Every counter is an Arrow kernel over the batch (this is THE hot
+    stage of a corpus-scale quality filter); the integer counters are
+    bit-identical to the ASCII DuckDB oracle expressions."""
+    stop_arr = pa.array(sorted(_STOPWORDS["en"]))
 
-    def _score(batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch[col].fillna("")
-        n_chars = text.str.len()
-        words = text.map(lambda t: word_re.findall(t.lower()))
-        n_words = words.str.len()
-        mean_wlen = words.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
-        stop_ratio = words.map(
-            lambda ws: sum(w in en_stop for w in ws) / len(ws) if ws else 0.0)
-        n_sentences = text.map(lambda t: len(punct_re.findall(t)))
-        digit_ratio = text.map(
-            lambda t: sum(c.isdigit() for c in t) / len(t) if t else 0.0)
-        upper_ratio = text.map(
-            lambda t: sum(c.isupper() for c in t) / len(t) if t else 0.0)
+    def _score(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        t = pc.fill_null(batch[col].combine_chunks(), "")
+        lower = pc.utf8_lower(t)
+
+        def count(arr, pat):
+            return pc.count_substring_regex(arr, pattern=pat) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+
+        n_chars = pc.utf8_length(t).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_words = count(lower, "[a-z]+")
+        sum_wlen = count(lower, "[a-z]")
+        n_digits = count(t, "[0-9]")
+        n_upper = count(t, "[A-Z]")
+        n_sentences = count(t, "[.!?]")
+
+        # stopword hits: tokenize once (split on non-letters), set-member
+        # test on the flattened tokens, bincount back per document
+        lists = pc.split_pattern_regex(lower, pattern="[^a-z]+")
+        member = pc.is_in(pc.list_flatten(lists), value_set=stop_arr) \
+            .to_numpy(zero_copy_only=False)
+        n_stop = _per_list_sum(lists, member, n)
+
+        nw = np.maximum(n_words, 1)
+        nc = np.maximum(n_chars, 1)
+        mean_wlen = sum_wlen / nw
+        stop_ratio = n_stop / nw
+        digit_ratio = n_digits / nc
+        upper_ratio = n_upper / nc
         quality = (
-            (n_words.clip(0, 200) / 200) * 0.3
+            (np.clip(n_words, 0, 200) / 200) * 0.3
             + ((mean_wlen >= 3) & (mean_wlen <= 10)).astype(float) * 0.3
-            + stop_ratio.clip(0, 0.4) / 0.4 * 0.2
-            + (1 - digit_ratio.clip(0, 0.5) * 2) * 0.1
-            + (n_sentences.clip(0, 10) / 10) * 0.1) * (n_words > 0)
-        batch["n_chars_calc"] = n_chars.astype("int64")
-        batch["n_words"] = n_words.astype("int64")
-        batch["n_sentences"] = n_sentences.astype("int64")
-        batch["mean_word_len"] = mean_wlen
-        batch["stopword_ratio"] = stop_ratio
-        batch["digit_ratio"] = digit_ratio
-        batch["upper_ratio"] = upper_ratio
-        batch["quality"] = quality
-        # integer-exact counterparts (for SQL-oracle comparison: float
-        # ratios hit decimal-half rounding ties where numpy and SQL
-        # engines legitimately disagree on the last digit)
-        batch["n_stopwords"] = words.map(
-            lambda ws: sum(w in en_stop for w in ws)).astype("int64")
-        batch["sum_word_len"] = words.map(
-            lambda ws: sum(len(w) for w in ws)).astype("int64")
-        batch["n_digits"] = text.map(
-            lambda t: sum(c.isdigit() for c in t)).astype("int64")
+            + np.clip(stop_ratio, 0, 0.4) / 0.4 * 0.2
+            + (1 - np.clip(digit_ratio, 0, 0.5) * 2) * 0.1
+            + (np.clip(n_sentences, 0, 10) / 10) * 0.1) * (n_words > 0)
+
+        zero = n_words == 0
+        empty = n_chars == 0
+        for name, arr in [
+                ("n_chars_calc", n_chars), ("n_words", n_words),
+                ("n_sentences", n_sentences),
+                ("mean_word_len", np.where(zero, 0.0, mean_wlen)),
+                ("stopword_ratio", np.where(zero, 0.0, stop_ratio)),
+                ("digit_ratio", np.where(empty, 0.0, digit_ratio)),
+                ("upper_ratio", np.where(empty, 0.0, upper_ratio)),
+                ("quality", quality),
+                # integer-exact counterparts (for SQL-oracle comparison:
+                # float ratios hit decimal-half rounding ties where numpy
+                # and SQL engines legitimately disagree on the last digit)
+                ("n_stopwords", n_stop), ("sum_word_len", sum_wlen),
+                ("n_digits", n_digits)]:
+            batch = batch.append_column(name, pa.array(arr))
         return batch
 
-    return ds.map_batches(_score, batch_format="pandas")
+    return ds.map_batches(_score, batch_format="pyarrow")
 
 
 class LangId:
-    """Stopword + character n-gram language heuristic as an actor-pool
-    stage: tables and regexes compiled once per actor."""
+    """Stopword + character-hint language heuristic as an actor-pool
+    stage: token tables and hint patterns built once per actor; the
+    per-batch path is one tokenize + one set-membership test per language
+    (Arrow kernels + a bincount reduce), no per-row Python.
 
-    LANGS = tuple(_STOPWORDS)
+    Scoring: ``score(lang) = stopword_hits / n_words (+ 0.05 if a
+    language-distinctive character occurs)``; highest score wins, ties
+    break to the alphabetically-first language; below 0.02 (or no words)
+    → ``und``.  Tokens are ASCII ``[a-z]+`` runs of the lowercased text
+    (RE2/DuckDB-oracle parity — see module docstring), so non-ASCII
+    stopwords ("für", "è") can only contribute via the character hints."""
+
+    LANGS = tuple(sorted(_STOPWORDS))
 
     def __init__(self):
-        self.word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
-        self.tables = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+        self.tables = {lang: pa.array(sorted(ws))
+                       for lang, ws in _STOPWORDS.items()}
         # distinctive character patterns as a weak tie-breaker
         self.char_hints = {
-            "de": re.compile(r"[äöüß]"), "fr": re.compile(r"[àâçéèêëîïôûù]"),
-            "es": re.compile(r"[áéíóúñ¿¡]"), "it": re.compile(r"[àèéìòù]"),
+            "de": "[äöüß]", "fr": "[àâçéèêëîïôûù]",
+            "es": "[áéíóúñ¿¡]", "it": "[àèéìòù]",
         }
 
+    def _scores(self, batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """(n_words, score matrix [n_rows × len(LANGS)]) for a batch."""
+        n = batch.num_rows
+        t = pc.fill_null(batch["text"].combine_chunks(), "")
+        lower = pc.utf8_lower(t)
+        n_words = pc.count_substring_regex(lower, pattern="[a-z]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        lists = pc.split_pattern_regex(lower, pattern="[^a-z]+")
+        flat = pc.list_flatten(lists)
+        nw = np.maximum(n_words, 1)
+        scores = np.zeros((n, len(self.LANGS)), dtype=np.float64)
+        for j, lang in enumerate(self.LANGS):
+            member = pc.is_in(flat, value_set=self.tables[lang]) \
+                .to_numpy(zero_copy_only=False)
+            scores[:, j] = _per_list_sum(lists, member, n) / nw
+            hint = self.char_hints.get(lang)
+            if hint:
+                hit = pc.greater(
+                    pc.count_substring_regex(t, pattern=hint), 0) \
+                    .to_numpy(zero_copy_only=False)
+                scores[:, j] += 0.05 * hit
+        return n_words, scores
+
     def classify(self, text: str) -> tuple[str, float]:
-        words = self.word_re.findall(text.lower())
-        if not words:
+        n_words, scores = self._scores(pa.table({"text": [text]}))
+        if n_words[0] == 0:
             return "und", 0.0
-        scores = {lang: sum(w in tbl for w in words) / len(words)
-                  for lang, tbl in self.tables.items()}
-        for lang, pat in self.char_hints.items():
-            if pat.search(text):
-                scores[lang] += 0.05
-        best = max(sorted(scores), key=lambda k: scores[k])
-        return (best, scores[best]) if scores[best] > 0.02 else ("und", scores[best])
+        j = int(np.argmax(scores[0]))  # first max → alphabetical tie-break
+        best = float(scores[0, j])
+        return (self.LANGS[j], best) if best > 0.02 else ("und", best)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        langs, confs = [], []
-        for t in batch["text"].to_pylist():
-            lang, conf = self.classify(t or "")
-            langs.append(lang)
-            confs.append(conf)
-        batch = batch.append_column("lang_pred", pa.array(langs, type=pa.string()))
+        n_words, scores = self._scores(batch)
+        j = scores.argmax(axis=1)  # first max → alphabetical tie-break
+        best = scores[np.arange(len(j)), j]
+        langs = np.where((n_words == 0) | (best <= 0.02), "und",
+                         np.asarray(self.LANGS, dtype=object)[j])
+        confs = np.where(n_words == 0, 0.0, best)
+        batch = batch.append_column(
+            "lang_pred", pa.array(langs, type=pa.string()))
         return batch.append_column("lang_conf", pa.array(confs, type=pa.float64()))
 
 
