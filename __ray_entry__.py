@@ -271,21 +271,18 @@ def _q_ngram_jaccard(sf_dir: str):
 
 
 def _q_ngram_jaccard_exact(sf_dir: str):
-    """Exact all-pairs n-gram Jaccard over every 5th document — fully
-    DuckDB-verifiable (the LSH variant has recall < 1 by design)."""
+    """Exact all-pairs n-gram Jaccard — fully DuckDB-verifiable (the LSH
+    variant has recall < 1 by design).  Runs over the FULL documents
+    table: the corpus genuinely contains near-duplicate pairs (25 at
+    sf0.01), so the oracle compares nonzero rows — the old every-5th
+    subset happened to exclude them all, which made the green vacuous.
+    Bounded-subset contract holds: documents is 500 rows at every test
+    scale."""
     _cfg()
-    import numpy as np
-    import pyarrow as pa
-
     from csvweb_ray.ops.dedup import ngram_jaccard_allpairs
     from csvweb_ray.queries import T
 
-    def _every5(b: pa.Table) -> pa.Table:
-        ids = np.asarray(b["doc_id"].to_pylist())
-        return b.filter(pa.array(ids % 5 == 0))
-
-    docs = T(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        _every5, batch_format="pyarrow")
+    docs = T(sf_dir, "documents", columns=["doc_id", "text"])
     pairs = ngram_jaccard_allpairs(docs, threshold=0.5)
     df = _ensure_cols(pairs.to_pandas(),
                       {"a": "int64", "b": "int64", "jaccard": "float64"})
@@ -296,20 +293,34 @@ def _q_ngram_jaccard_exact(sf_dir: str):
 def _q_embedding_neardup(sf_dir: str):
     """Brute-force-equivalent near-dup (num_planes=0 → exact) with DuckDB
     list_cosine_similarity oracle; restricted to vec_id % 5 == 0 to bound
-    the oracle's O(n²)."""
+    the oracle's O(n²).
+
+    The synthetic embeddings are near-orthogonal (max pairwise cosine
+    ≈ 0.46), so the raw table yields ZERO pairs at any sane threshold —
+    a broken implementation returning nothing would also 'pass'.  Both
+    sides therefore PLANT deterministic duplicates: every 50th vector is
+    re-emitted under ``vec_id + 100000`` with an identical embedding,
+    guaranteeing ten exact-cosine-1.0 pairs the comparison must find."""
     _cfg()
     import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     from csvweb_ray.ops.dedup import embedding_neardup_pairs
     from csvweb_ray.queries import T
 
-    def _every5(b: pa.Table) -> pa.Table:
+    def _subset_and_plant(b: pa.Table) -> pa.Table:
         ids = np.asarray(b["vec_id"].to_pylist())
-        return b.filter(pa.array(ids % 5 == 0))
+        base = b.filter(pa.array(ids % 5 == 0))
+        plant = b.filter(pa.array(ids % 50 == 0))
+        plant = plant.set_column(
+            plant.schema.get_field_index("vec_id"), "vec_id",
+            pc.add(plant["vec_id"], pa.scalar(100000,
+                                              type=plant["vec_id"].type)))
+        return pa.concat_tables([base, plant])
 
     emb = T(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
-        _every5, batch_format="pyarrow")
+        _subset_and_plant, batch_format="pyarrow")
     pairs = embedding_neardup_pairs(emb, threshold=0.9, num_planes=0)
     df = _ensure_cols(pairs.to_pandas(),
                       {"a": "int64", "b": "int64", "cosine": "float64"})
@@ -517,12 +528,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, length(text) AS n_chars_calc,
                    length(regexp_replace(text, '[^.!?]', '', 'g')) AS n_sentences
             FROM documents ORDER BY doc_id""",
+        # every-50th vector is re-emitted under vec_id+100000 with an
+        # identical embedding (both sides plant the same rows): the raw
+        # synthetic embeddings are near-orthogonal, so without planting
+        # the comparison is vacuous (0 rows on both sides)
         "embedding_neardup": """
+            WITH sub AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+              UNION ALL
+              SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+              WHERE vec_id % 50 = 0)
             SELECT a.vec_id AS a, b.vec_id AS b,
                    round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0
-              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+            FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
             ORDER BY a, b""",
         "topk_per_group": """
             SELECT c_mktsegment, o_orderkey, o_totalprice, rank FROM (
@@ -561,7 +580,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
               SELECT doc_id,
                      regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+') AS t
-              FROM documents WHERE doc_id % 5 = 0),
+              FROM documents),
             grams AS (
               SELECT doc_id,
                      CASE WHEN len(t) = 0 THEN []::VARCHAR[]
