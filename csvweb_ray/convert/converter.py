@@ -97,6 +97,10 @@ class Converter:
         self.encode_iris = encode_iris
         self._bnode = _BnodeFactory(bnode_seed)
         self.result = ConversionResult()
+        # per-(table, column) memo for the default predicate IRI — it is
+        # row-invariant but was being re-resolved for every cell, which
+        # profiling put on the conversion hot path
+        self._pred_cache: dict = {}
 
     # -- public -------------------------------------------------------------
 
@@ -244,14 +248,18 @@ class Converter:
         if self.mode == MODE_STANDARD:
             emit(Triple(row_node, CSVW + "describes", s))
         if column.property_url is None:
-            name = column.name or f"_col.{col_ix + 1}"
-            if self.encode_iris:
-                # the name annotation MUST be percent-encoded per RFC 3986
-                # before use as a fragment identifier (W3C test132); the
-                # reference skips this (golden 'escaping' fixture expects a
-                # raw space), hence the flag.
-                name = _pct_encode_name(name)
-            p = resolve_uri(table.url, "#" + name)
+            key = (table.url, column.name, col_ix)
+            p = self._pred_cache.get(key)
+            if p is None:
+                name = column.name or f"_col.{col_ix + 1}"
+                if self.encode_iris:
+                    # the name annotation MUST be percent-encoded per RFC
+                    # 3986 before use as a fragment identifier (W3C
+                    # test132); the reference skips this (golden
+                    # 'escaping' fixture expects a raw space), hence the
+                    # flag.
+                    name = _pct_encode_name(name)
+                p = self._pred_cache[key] = resolve_uri(table.url, "#" + name)
         else:
             p_node = self._resolve_template(table, column.property_url, bindings)
             p = p_node[1] if p_node is not None else None

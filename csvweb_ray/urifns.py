@@ -63,6 +63,13 @@ def _join_parts(scheme, authority, path, query, fragment) -> str:
 
 def remove_dot_segments(path: str) -> str:
     """RFC 3986 §5.2.4, as .NET applies to absolute URIs."""
+    # fast path: dot SEGMENTS only ever appear as a leading "."/".." or
+    # after a slash ("/.", "/.."); a path with neither is already
+    # canonical ("data.csv" has dots but no dot segments).  This is the
+    # hot line of the whole conversion core — one C-level substring scan
+    # instead of the segment loop for the overwhelmingly common case.
+    if "/." not in path and (not path or path[0] != "."):
+        return path
     output: list[str] = []
     while path:
         if path.startswith("../"):
@@ -97,6 +104,21 @@ def remove_dot_segments(path: str) -> str:
     return "".join(output)
 
 
+_BASE_SPLIT_CACHE: dict[str, tuple] = {}
+
+
+def _split_base(base: str) -> tuple:
+    """Memoized ``_split`` for resolution bases: every cell of a table
+    resolves against the same table URL, so the base split is effectively
+    per-table, not per-cell.  Bounded (bases are table/metadata URLs)."""
+    r = _BASE_SPLIT_CACHE.get(base)
+    if r is None:
+        if len(_BASE_SPLIT_CACHE) > 4096:
+            _BASE_SPLIT_CACHE.clear()
+        r = _BASE_SPLIT_CACHE[base] = _split(base)
+    return r
+
+
 def _merge(base_authority, base_path: str, rel_path: str) -> str:
     if base_authority is not None and not base_path:
         return "/" + rel_path
@@ -112,11 +134,16 @@ def resolve_uri(base: str | None, rel: str) -> str:
     Raises ``ValueError`` when no base is given and ``rel`` is relative.
     """
     if is_absolute_uri(rel):
+        # "/." absent anywhere → the path component certainly has no dot
+        # segments → already canonical (a "/." in query/fragment would
+        # defeat the shortcut, and correctly falls through to the split)
+        if "/." not in rel:
+            return rel
         s, a, p, q, f = _split(rel)
         return _join_parts(s, a, remove_dot_segments(p), q, f)
     if base is None:
         raise ValueError(f"cannot resolve relative reference {rel!r} without a base URI")
-    bs, ba, bp, bq, bf = _split(base)
+    bs, ba, bp, bq, bf = _split_base(base)
     if rel == "":
         # .NET: new Uri(base, "") == base without fragment changes; keep base as-is
         return _join_parts(bs, ba, remove_dot_segments(bp), bq, bf)
