@@ -700,7 +700,10 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
                                        e.vec_id) AS rn
                    FROM q CROSS JOIN embeddings e)
-            SELECT query_id, vec_id, round(raw_score, 3) AS score
+            -- CAST to DOUBLE first: DuckDB round() on a FLOAT returns
+            -- FLOAT, whose nearest-float32 0.277 != the engine's float64
+            -- 0.277 at the 1e-8 level (dtype-exact compare parity)
+            SELECT query_id, vec_id, round(CAST(raw_score AS DOUBLE), 3) AS score
             FROM scored WHERE rn <= 10
             ORDER BY query_id, score DESC, vec_id""",
     }
