@@ -290,6 +290,26 @@ def _q_ngram_jaccard_exact(sf_dir: str):
     return df.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def _subset_and_plant(b):
+    """Every-5th vec_id subset + planted exact duplicates (every 50th
+    vector re-emitted under ``vec_id + 100000``): the synthetic embeddings
+    are near-orthogonal, so WITHOUT planting any near-dup query returns 0
+    rows and a broken implementation would 'pass' vacuously.  Identical
+    vectors have cosine exactly 1.0 and identical LSH signatures, so both
+    the exact and the bucketed path must surface them."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ids = np.asarray(b["vec_id"].to_pylist())
+    base = b.filter(pa.array(ids % 5 == 0))
+    plant = b.filter(pa.array(ids % 50 == 0))
+    plant = plant.set_column(
+        plant.schema.get_field_index("vec_id"), "vec_id",
+        pc.add(plant["vec_id"], pa.scalar(100000, type=plant["vec_id"].type)))
+    return pa.concat_tables([base, plant])
+
+
 def _q_embedding_neardup(sf_dir: str):
     """Brute-force-equivalent near-dup (num_planes=0 → exact) with DuckDB
     list_cosine_similarity oracle; restricted to vec_id % 5 == 0 to bound
@@ -302,22 +322,8 @@ def _q_embedding_neardup(sf_dir: str):
     re-emitted under ``vec_id + 100000`` with an identical embedding,
     guaranteeing ten exact-cosine-1.0 pairs the comparison must find."""
     _cfg()
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
     from csvweb_ray.ops.dedup import embedding_neardup_pairs
     from csvweb_ray.queries import T
-
-    def _subset_and_plant(b: pa.Table) -> pa.Table:
-        ids = np.asarray(b["vec_id"].to_pylist())
-        base = b.filter(pa.array(ids % 5 == 0))
-        plant = b.filter(pa.array(ids % 50 == 0))
-        plant = plant.set_column(
-            plant.schema.get_field_index("vec_id"), "vec_id",
-            pc.add(plant["vec_id"], pa.scalar(100000,
-                                              type=plant["vec_id"].type)))
-        return pa.concat_tables([base, plant])
 
     emb = T(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
         _subset_and_plant, batch_format="pyarrow")
@@ -330,12 +336,19 @@ def _q_embedding_neardup(sf_dir: str):
 
 
 def _q_embedding_neardup_lsh(sf_dir: str):
-    """LSH-bucketed near-dup (the scale path; recall < 1 by design)."""
+    """LSH-bucketed near-dup (the scale path; recall < 1 by design).
+
+    Same planted-duplicate input as the exact variant — identical vectors
+    share every hyperplane signature, so the planted pairs are found with
+    probability 1 and the row count is provably nonzero (no vacuous
+    pass); near-threshold non-identical pairs may still be missed, which
+    is the documented recall trade."""
     _cfg()
     from csvweb_ray.ops.dedup import embedding_neardup_pairs
     from csvweb_ray.queries import T
 
-    emb = T(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb = T(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+        _subset_and_plant, batch_format="pyarrow")
     pairs = embedding_neardup_pairs(emb, threshold=0.9, num_planes=8)
     df = _ensure_cols(pairs.to_pandas(),
                       {"a": "int64", "b": "int64", "cosine": "float64"})

@@ -513,3 +513,59 @@ def test_dedup_boundaries_path_exactness(ray_session):
     full_dupes = {subs[j] for j in range(k)
                   if (j % 7 == 0) == ((j + k) % 7 == 0) == ((j + 2 * k) % 7 == 0)}
     assert set(out[out.subj.isin(full_dupes)].repo) <= {"r0"}
+
+
+def test_dedup_prefix_split_mixed_domains(ray_session):
+    """The exchange's subject prefix-split (``_strip_common_prefix``) is
+    per-block: blocks holding one IRI domain strip a long prefix, blocks
+    mixing domains strip a short or empty one, and sub-``min_len``
+    sharing ships unsplit.  Whatever each map block chose, the reduce
+    side must reassemble identical full IRIs — exercised by duplicates
+    whose copies land in blocks with DIFFERENT split decisions."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from csvweb_ray.pipeline.stages import (
+        TRIPLE_COLUMNS,
+        _strip_common_prefix,
+        dedup_triples,
+    )
+
+    # unit: the helper itself
+    col = pa.array(["http://a.invalid/x/1", "http://a.invalid/x/2"])
+    pfx, suf = _strip_common_prefix(col)
+    assert pfx == "http://a.invalid/x/" and suf.to_pylist() == ["1", "2"]
+    pfx, suf = _strip_common_prefix(pa.array(["ab1", "ab2"]))  # < min_len
+    assert pfx == "" and suf is not None
+    pfx, suf = _strip_common_prefix(pa.array([None, None], type=pa.string()))
+    assert pfx == ""
+
+    # end-to-end: 3 domains, duplicates scattered so the same subject
+    # appears in single-domain AND mixed-domain blocks
+    doms = ["http://alpha.invalid/items/", "https://beta.invalid/e/", "urn:z:"]
+    n_per, copies = 60, 3
+    subs, vals = [], []
+    for c in range(copies):
+        for d, dom in enumerate(doms):
+            for i in range(n_per):
+                subs.append(f"{dom}{i:04d}")
+                vals.append(f"val{d}-{i:04d}")
+    n = len(subs)
+    tbl = pa.table({c: pa.array({
+        "subj_kind": ["i"] * n, "subj": subs,
+        "pred": ["http://p.invalid/p"] * n,
+        "obj_kind": ["l"] * n, "obj_value": vals,
+        "obj_datatype": [None] * n, "obj_lang": [None] * n,
+        "repo": ["r"] * n, "path": ["t.csv"] * n,
+        "commit": ["c" * 40] * n, "content_sha256": ["s" * 64] * n,
+    }[c], type=pa.string()) for c in TRIPLE_COLUMNS})
+    # copy 0: blocks are per-domain contiguous (long prefixes); the full
+    # shuffle of all copies lands later copies in mixed blocks
+    ds = rd.from_arrow(tbl).random_shuffle(seed=7).repartition(24)
+    bounds = [doms[1], doms[2]]
+    out = dedup_triples(ds, boundaries=bounds).to_pandas()
+    distinct = sorted(set(zip(subs, vals)))
+    assert len(out) == len(distinct)
+    assert sorted(zip(out.subj, out.obj_value)) == distinct
+    # global order preserved (the fused G7 sort)
+    assert list(out.subj) == sorted(out.subj)
