@@ -187,6 +187,11 @@ def scaling() -> None:
         f"sec_{hi}_trials": [r["value"] for r in runs_hi],
         f"triples_per_sec_{lo}": r_lo["triples_per_sec"],
         f"triples_per_sec_{hi}": r_hi["triples_per_sec"],
+        # per-phase walls of the min runs: shows WHERE the non-scaling
+        # residue sits (convert scales ~at the host ceiling; the exchange
+        # and checkpoint I/O are the shared-bandwidth suspects)
+        f"phases_{lo}": r_lo.get("phases", {}),
+        f"phases_{hi}": r_hi.get("phases", {}),
         "triples": r_hi["triples"],
         "corpus_rows": r_hi["corpus_rows"],
     }

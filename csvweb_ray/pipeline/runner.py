@@ -374,9 +374,18 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
         if _ray.is_initialized() else 8
     total_rows = sum(v.get("triples", 0) for v in manifest["shards"].values())
     merge_blocks = max(ncpu, total_rows // 1_000_000, 1)
-    all_out = rd.read_parquet(shards_dir, override_num_blocks=merge_blocks)
-    triples, filemeta = split_convert_output(all_out)
-    from .stages import sample_term_boundaries
+    # prune at the read: the merge only consumes triple rows and triple
+    # columns — the per-file metrics columns (errors, hashes, counts) and
+    # the 'f' rows are skipped at the parquet scan, not post-decode
+    import pyarrow.dataset as pads
+
+    from .stages import TRIPLE_COLUMNS, sample_term_boundaries
+
+    all_out = rd.read_parquet(
+        shards_dir, override_num_blocks=merge_blocks,
+        columns=list(TRIPLE_COLUMNS) + ["rkind"],
+        filter=(pads.field("rkind") == "t"))
+    triples, _ = split_convert_output(all_out)
 
     merge_boundaries = sample_term_boundaries(shards_dir, merge_blocks)
 
