@@ -8,7 +8,10 @@ per-query timings over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
 ``--scaling``: runs the headline pipeline twice in fresh processes at
 ``num_cpus`` 8 and 32 on the SAME cached corpus and reports both
 throughputs plus scaling efficiency ``(t8/t32)/4`` (the sandbox stand-in
-for the N vs 4N node criterion; see BASELINE.md).
+for the N vs 4N node criterion; see BASELINE.md).  Each leg is
+``taskset``-pinned to that many physical cores so the 8-CPU leg models a
+quarter-size cluster instead of borrowing the idle 24 cores' turbo and
+bandwidth (BENCH_PIN=0 reverts to unpinned).
 
 Owns its Ray session (the only scripts allowed to: bench, CLI, tests).
 """
@@ -149,10 +152,23 @@ def scaling() -> None:
     # point actually lives in
     n_files = os.environ.get("BENCH_SCALING_N_FILES", "14000")
 
+    # CPU pinning (default on): an UNPINNED 8-CPU Ray session on a
+    # 32-core host is flattered — its 8 workers get the whole box's
+    # turbo headroom, L3 and memory bandwidth, which no quarter-size
+    # cluster would have, compressing the measured ratio.  `taskset`
+    # confines the N-CPU leg to N physical cores so each leg models a
+    # fixed-size cluster of that many cores.  BENCH_PIN=0 reverts to
+    # the (flattering) unpinned protocol.
+    pin = os.environ.get("BENCH_PIN", "1") != "0" \
+        and shutil.which("taskset") is not None
+
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1",
                    BENCH_N_FILES=n_files)
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        if pin:
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+        out = subprocess.run(cmd, env=env,
                              capture_output=True, text=True, check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__))).stdout
         return json.loads(out.strip().splitlines()[-1])
@@ -194,6 +210,7 @@ def scaling() -> None:
         f"phases_{hi}": r_hi.get("phases", {}),
         "triples": r_hi["triples"],
         "corpus_rows": r_hi["corpus_rows"],
+        "cpu_pinned": pin,
     }
     print(json.dumps(result))
     _record(result)
@@ -210,7 +227,8 @@ def _host_ceiling(trials: int = 3, secs: float = 4.0) -> float:
     def run(n):
         ctx = mp.get_context("fork")  # no pickling: works under any entry
         q = ctx.Queue()
-        ps = [ctx.Process(target=_BURN, args=(q, secs)) for _ in range(n)]
+        # pinned to n cores, mirroring the pipeline legs' taskset
+        ps = [ctx.Process(target=_BURN, args=(q, secs, n)) for _ in range(n)]
         for p in ps:
             p.start()
         total = sum(q.get() for _ in ps)
@@ -227,7 +245,12 @@ def _host_ceiling(trials: int = 3, secs: float = 4.0) -> float:
     return (best32 / best8) / 4 if best8 else 0.0
 
 
-def _BURN(q, s):  # module-level for spawn pickling
+def _BURN(q, s, ncores=None):  # module-level for spawn pickling
+    if ncores:
+        try:  # same n-core confinement as the pipeline legs
+            os.sched_setaffinity(0, range(ncores))
+        except (OSError, AttributeError):
+            pass
     t_end = time.perf_counter() + s
     it, x = 0, 1.0001
     while time.perf_counter() < t_end:
@@ -248,7 +271,11 @@ def _record(result: dict) -> None:
         "",
         f"Protocol: same corpus ({result['corpus_rows']} CSV rows), same DAG, "
         "fresh `ray.init(num_cpus=8)` vs `num_cpus=32` processes; "
-        "efficiency = (t8/t32)/4.",
+        "efficiency = (t8/t32)/4"
+        + ("; each leg taskset-pinned to that many physical cores (the "
+           "8-CPU leg models a quarter-size cluster rather than borrowing "
+           "the idle cores' turbo/bandwidth)" if result.get("cpu_pinned")
+           else "") + ".",
     ]
     with open(path, "a", encoding="utf-8") as fh:
         fh.write("\n".join(lines) + "\n")

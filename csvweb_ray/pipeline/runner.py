@@ -367,7 +367,12 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
     # put 8.5M rows × 11 string columns into one Arrow sort (~20 min/task
     # measured).  Row-count is the honest sizing signal — the manifest
     # already carries per-shard triple counts (zstd on-disk bytes
-    # under-estimate in-memory size ~20×).
+    # under-estimate in-memory size ~20×).  Asking for MORE blocks than
+    # parquet files is counter-productive: Ray answers with SplitBlocks
+    # fan-out (512 blocks for a 194 request on 128 files, measured) and
+    # the sort's P² slice overhead dominates (49 s → 115 s merge).
+    # Straggler control comes from boundary ACCURACY instead — see
+    # sample_term_boundaries' distributed strided sample.
     import ray as _ray
 
     ncpu = int(_ray.cluster_resources().get("CPU", 8)) \
@@ -387,7 +392,13 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
         filter=(pads.field("rkind") == "t"))
     triples, _ = split_convert_output(all_out)
 
-    merge_boundaries = sample_term_boundaries(shards_dir, merge_blocks)
+    # 4× finer part ids than sort partitions: Ray's sort samples the part
+    # column at runtime and one part id is indivisible — with ids ==
+    # partitions, quantile jitter puts 0 or 2 ids into a partition (2×
+    # skew measured); at 4× each partition averages 4 ids ±1 (~±25%).
+    # The searchsorted partition-id assignment makes the finer boundary
+    # list free on the map side.
+    merge_boundaries = sample_term_boundaries(shards_dir, 4 * merge_blocks)
 
     if with_linking:
         import ray

@@ -634,30 +634,45 @@ def _strip_common_prefix(col: pa.Array, min_len: int = 8):
 
 
 def sample_term_boundaries(shards_dir: str, num_parts: int,
-                           max_row_groups: int = 128,
-                           rows_per_group: int = 2048) -> list[str]:
-    """Driver-side sampled range boundaries for the fused dedup+sort.
+                           target_samples: int = 500_000) -> list[str]:
+    """Range boundaries for the fused dedup+sort, from a DISTRIBUTED
+    strided sample of the key columns.
 
-    Reads ~``max_row_groups`` row-group heads spread across the wave
-    parquet (3 key columns only, a few MB total), packs them with the
-    SAME escaped key encoding as the exchange, and returns ``num_parts-1``
-    quantile boundaries.  Sorting by the resulting small-int partition id
-    instead of the wide string key keeps Ray's SortMap partition search on
-    zero-copy numpy ints — the string-key path materializes the whole key
-    column per boundary (measured 16 s/task vs <1 s)."""
+    The earlier head-of-row-group sample was biased: a wave shard holds
+    ~100 input files' triples in file order, so row-group heads
+    over-represent each shard's FIRST files and the resulting quantiles
+    put up to 3.35× the mean row count into one partition — whose 20 s
+    post-sort task set the whole merge's critical path (ds.stats(), 68M
+    triples @32 CPUs).  Instead: a column-pruned parallel read of the 3
+    key columns, every k-th row packed with the SAME escaped key
+    encoding as the exchange (k sized from parquet metadata row counts
+    for ~``target_samples`` total), quantiles on the driver.  ~1-2% of
+    the merge's own read, fully parallel, unbiased up to stride
+    regularity.
+
+    Sorting by the resulting small-int partition id instead of the wide
+    string key keeps Ray's SortMap partition search on zero-copy numpy
+    ints — the string-key path materializes the whole key column per
+    boundary (measured 16 s/task vs <1 s)."""
+    import numpy as np
     import pyarrow.dataset as pads
+    import ray.data as rd
 
-    d = pads.dataset(shards_dir, format="parquet")
-    rg_frags = [rg for f in d.get_fragments() for rg in f.split_by_row_group()]
-    if not rg_frags:
+    total = pads.dataset(shards_dir, format="parquet").count_rows()
+    if not total:
         return []
-    step = max(1, len(rg_frags) // max_row_groups)
-    keys: list[str] = []
-    for rg in rg_frags[::step][:max_row_groups]:
-        t = rg.head(rows_per_group, columns=list(_KEY_COLS))
-        t = t.filter(pc.is_valid(t["subj"]))  # drop per-file metrics rows
-        if t.num_rows:
-            keys.extend(_join_cols(t, _KEY_COLS).to_pylist())
+    stride = max(1, total // target_samples)
+
+    def _sample(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["subj"]))  # drop per-file metrics rows
+        if not b.num_rows:
+            return pa.table({"k": pa.nulls(0, type=pa.string())})
+        t = b.take(np.arange(0, b.num_rows, stride))
+        return pa.table({"k": _join_cols(t, _KEY_COLS)})
+
+    keys = [r["k"] for r in rd.read_parquet(shards_dir,
+                                            columns=list(_KEY_COLS))
+            .map_batches(_sample, batch_format="pyarrow").take_all()]
     if not keys:
         return []
     keys.sort()
@@ -738,16 +753,21 @@ def dedup_triples(ds, boundaries: list[str] | None = None):
         # saved the exchange; the reduce side dedups exactly regardless.
         term_key = _join_cols(batch, _KEY_COLS)
         if columnar:
-            # partition id = #boundaries <= key (vectorized memcmp per
-            # boundary): equal keys share a partition by construction, so
-            # the reduce-side dedup stays exact; the range sort then keys
-            # on this small int instead of the wide string, and the triple
-            # columns cross the exchange AS columns — no packed-string
-            # split/unescape on the reduce side at all
-            part = pa.nulls(len(term_key), pa.int32()).fill_null(0)
-            for b in boundaries:
-                part = pc.add(part, pc.cast(
-                    pc.greater_equal(term_key, pa.scalar(b)), pa.int32()))
+            # partition id = #boundaries <= key, via ONE binary search of
+            # the block's keys against the sorted boundary list —
+            # O(N log B) regardless of boundary count (the per-boundary
+            # Arrow memcmp pass was O(N·B), which forbade fine
+            # boundaries).  Equal keys share a partition by construction,
+            # so the reduce-side dedup stays exact; the range sort then
+            # keys on this small int instead of the wide string, and the
+            # triple columns cross the exchange AS columns — no
+            # packed-string split/unescape on the reduce side at all
+            import numpy as np
+
+            keys_np = term_key.to_numpy(zero_copy_only=False)
+            part = pa.array(np.searchsorted(
+                np.asarray(boundaries, dtype=object), keys_np,
+                side="right").astype(np.int32))
             out = {"part": part}
             for c in TRIPLE_COLUMNS:
                 col = _canon_str(batch[c])
