@@ -450,6 +450,12 @@ def _convert_one(repo: str, csv_path: str, commit: str, sha: str, csv_text: str,
     return triples, meta_path, rows, errors
 
 
+#: one packed sort key per this many triples rides the wave checkpoint
+#: as an ``rkind="s"`` sample row (see ``convert_batches`` /
+#: ``sample_term_boundaries``); 68M triples → ~266k keys ≈ 25 MB driver
+SAMPLE_STRIDE = 256
+
+
 def convert_batches(ds, mode: str = MODE_MINIMAL, encode_iris: bool = False,
                     errors_out: str | None = None):
     """The central conversion UDF (C1-C14, U1-U4, D1-D8, J1-J4): stateless
@@ -507,10 +513,23 @@ def convert_batches(ds, mode: str = MODE_MINIMAL, encode_iris: bool = False,
 
         triples_tbl = pa.Table.from_pydict(t_cols, schema=_TRIPLE_SCHEMA)
         meta_tbl = pa.Table.from_pydict(f_cols, schema=_FILEMETA_SCHEMA)
-        # align into one table with the marker column
+        # every SAMPLE_STRIDE-th triple's packed sort key rides the wave
+        # checkpoint as an ``rkind="s"`` row: the merge's range boundaries
+        # then come from these (driver reads ~0.4% of a key column)
+        # instead of a second scan over the shards — at corpus scale the
+        # sampling pass must happen DURING the pass that already holds
+        # the triples (stratified per file-chunk, so unbiased)
         n_t, n_f = triples_tbl.num_rows, meta_tbl.num_rows
-        merged = {"rkind": pa.array(["t"] * n_t + ["f"] * n_f, type=pa.string()),
-                  "shard": pa.array(shards_t + shards_f, type=pa.int32())}
+        samp_idx = list(range(0, n_t, SAMPLE_STRIDE))
+        samp_keys = _join_cols(triples_tbl.take(samp_idx), _KEY_COLS) \
+            if samp_idx else pa.array([], type=pa.string())
+        n_s = len(samp_keys)
+        # align into one table with the marker column
+        merged = {"rkind": pa.array(["t"] * n_t + ["f"] * n_f + ["s"] * n_s,
+                                    type=pa.string()),
+                  "shard": pa.array(
+                      shards_t + shards_f + [shards_t[i] for i in samp_idx],
+                      type=pa.int32())}
         for name in _TRIPLE_SCHEMA.names:
             left = triples_tbl[name].combine_chunks()
             if name in meta_tbl.column_names:
@@ -518,15 +537,22 @@ def convert_batches(ds, mode: str = MODE_MINIMAL, encode_iris: bool = False,
             else:
                 right = pa.nulls(n_f, type=pa.string())
             merged[name] = pa.concat_arrays([left.cast(pa.string()),
-                                             right.cast(pa.string())])
+                                             right.cast(pa.string()),
+                                             pa.nulls(n_s, type=pa.string())])
         for name in ("metadata_path", "errors", "triples_hash"):
             merged[name] = pa.concat_arrays([
                 pa.nulls(n_t, type=pa.string()),
-                meta_tbl[name].combine_chunks()])
+                meta_tbl[name].combine_chunks(),
+                pa.nulls(n_s, type=pa.string())])
         for name in ("rows", "n_triples", "n_errors"):
             merged[name] = pa.concat_arrays([
                 pa.nulls(n_t, type=pa.int64()),
-                meta_tbl[name].combine_chunks()])
+                meta_tbl[name].combine_chunks(),
+                pa.nulls(n_s, type=pa.int64())])
+        merged["sample_key"] = pa.concat_arrays([
+            pa.nulls(n_t + n_f, type=pa.string()),
+            samp_keys.combine_chunks() if isinstance(samp_keys, pa.ChunkedArray)
+            else samp_keys])
         return pa.Table.from_pydict(merged)
 
     return ds.map_batches(_convert, batch_format="pyarrow")
@@ -653,26 +679,40 @@ def sample_term_boundaries(shards_dir: str, num_parts: int,
     Sorting by the resulting small-int partition id instead of the wide
     string key keeps Ray's SortMap partition search on zero-copy numpy
     ints — the string-key path materializes the whole key column per
-    boundary (measured 16 s/task vs <1 s)."""
+    boundary (measured 16 s/task vs <1 s).
+
+    FAST PATH: the convert UDF checkpoints every ``SAMPLE_STRIDE``-th
+    triple's packed key as an ``rkind="s"`` row (column ``sample_key``),
+    so normally this is one driver-side metadata-pruned read of ~0.4% of
+    one column — no second scan at all.  The distributed sample below
+    remains as the fallback for shard layouts written before the sample
+    channel existed."""
     import numpy as np
     import pyarrow.dataset as pads
     import ray.data as rd
 
-    total = pads.dataset(shards_dir, format="parquet").count_rows()
-    if not total:
-        return []
-    stride = max(1, total // target_samples)
+    d = pads.dataset(shards_dir, format="parquet")
+    keys: list[str] = []
+    if "sample_key" in d.schema.names:
+        keys = d.to_table(columns=["sample_key"],
+                          filter=pads.field("rkind") == "s")
+        keys = keys["sample_key"].to_pylist()
+    if not keys:
+        total = d.count_rows()
+        if not total:
+            return []
+        stride = max(1, total // target_samples)
 
-    def _sample(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.is_valid(b["subj"]))  # drop per-file metrics rows
-        if not b.num_rows:
-            return pa.table({"k": pa.nulls(0, type=pa.string())})
-        t = b.take(np.arange(0, b.num_rows, stride))
-        return pa.table({"k": _join_cols(t, _KEY_COLS)})
+        def _sample(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_valid(b["subj"]))  # drop per-file metrics rows
+            if not b.num_rows:
+                return pa.table({"k": pa.nulls(0, type=pa.string())})
+            t = b.take(np.arange(0, b.num_rows, stride))
+            return pa.table({"k": _join_cols(t, _KEY_COLS)})
 
-    keys = [r["k"] for r in rd.read_parquet(shards_dir,
-                                            columns=list(_KEY_COLS))
-            .map_batches(_sample, batch_format="pyarrow").take_all()]
+        keys = [r["k"] for r in rd.read_parquet(shards_dir,
+                                                columns=list(_KEY_COLS))
+                .map_batches(_sample, batch_format="pyarrow").take_all()]
     if not keys:
         return []
     keys.sort()

@@ -569,3 +569,29 @@ def test_dedup_prefix_split_mixed_domains(ray_session):
     assert sorted(zip(out.subj, out.obj_value)) == distinct
     # global order preserved (the fused G7 sort)
     assert list(out.subj) == sorted(out.subj)
+
+
+def test_wave_checkpoint_sample_channel(ray_session, golden_run):
+    """The convert UDF checkpoints strided packed sort keys as
+    ``rkind='s'`` rows; ``sample_term_boundaries`` derives the merge
+    boundaries from them (no second shard scan), and the keys use the
+    exchange's escaped packing (field-separator join of the key cols)."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    from csvweb_ray.pipeline.stages import sample_term_boundaries
+
+    out, _ = golden_run
+    shards_dir = os.path.join(out, "shards")
+    d = pads.dataset(shards_dir, format="parquet")
+    assert "sample_key" in d.schema.names
+    samples = d.to_table(columns=["sample_key"],
+                         filter=pads.field("rkind") == "s")
+    assert samples.num_rows > 0
+    keys = [k for k in samples["sample_key"].to_pylist() if k]
+    assert all("\x1f" in k for k in keys)  # packed (subj, pred, obj) keys
+    bounds = sample_term_boundaries(shards_dir, 4)
+    assert bounds == sorted(bounds) and len(bounds) <= 3
+    # boundaries must be drawn from the checkpointed sample population
+    assert all(any(k >= b for k in keys) for b in bounds)
