@@ -954,23 +954,26 @@ def render_ntriples_column(ds, out: str = "nt"):
             subj_txt, pred_txt, obj_txt, pa.array(["."] * n, type=pa.string()),
             " ")
 
-        mask = needs_escape.to_pylist()
-        if any(mask):
-            sk = cols["subj_kind"].to_pylist()
-            sv = cols["subj"].to_pylist()
-            pv = cols["pred"].to_pylist()
-            ok_ = cols["obj_kind"].to_pylist()
-            ovl = cols["obj_value"].to_pylist()
-            dtl = dt.to_pylist()
-            lgl = lang.to_pylist()
-            slow = fast.to_pylist()
-            for i, m in enumerate(mask):
-                if not m:
-                    continue
-                o = ("l", ovl[i], dtl[i], lgl[i]) if ok_[i] == "l" \
-                    else (ok_[i], ovl[i])
-                slow[i] = render_triple(((sk[i], sv[i]), pv[i], o))
-            lines = pa.array(slow, type=pa.string())
+        # per-row escaping for ONLY the masked rows (gather → render →
+        # scatter): the old formulation materialized all 8 columns to
+        # Python lists the moment a single row needed escaping, which on
+        # an escape-bearing web corpus is every batch
+        needs_escape = pc.fill_null(needs_escape, False)
+        if pc.any(needs_escape).as_py():
+            idx = pc.indices_nonzero(needs_escape)
+            sub = {c: pc.take(cols[c], idx).to_pylist()
+                   for c in ("subj_kind", "subj", "pred", "obj_kind",
+                             "obj_value", "obj_datatype", "obj_lang")}
+            slow = []
+            for i in range(len(idx)):
+                o = (("l", sub["obj_value"][i], sub["obj_datatype"][i],
+                      sub["obj_lang"][i]) if sub["obj_kind"][i] == "l"
+                     else (sub["obj_kind"][i], sub["obj_value"][i]))
+                slow.append(render_triple(
+                    ((sub["subj_kind"][i], sub["subj"][i]),
+                     sub["pred"][i], o)))
+            lines = pc.replace_with_mask(
+                fast, needs_escape, pa.array(slow, type=pa.string()))
         else:
             lines = fast
         return batch.append_column(out, lines)
