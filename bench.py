@@ -41,7 +41,7 @@ BENCH_QUERIES = [
     "filter_scan", "groupby_agg", "broadcast_join", "hash_join",
     "dedup_first", "sort_topk", "window_tumbling", "asof_join",
     "exact_dedup", "token_count", "quality_score", "minhash_pairs",
-    "ann_topk",
+    "simhash_pairs", "fingerprint", "ann_topk",
 ]
 
 
@@ -167,7 +167,7 @@ def scaling() -> None:
                    BENCH_N_FILES=n_files)
         cmd = [sys.executable, os.path.abspath(__file__)]
         if pin:
-            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+            cmd = ["taskset", "-c", _pin_set(ncpu)] + cmd
         out = subprocess.run(cmd, env=env,
                              capture_output=True, text=True, check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__))).stdout
@@ -214,6 +214,37 @@ def scaling() -> None:
     }
     print(json.dumps(result))
     _record(result)
+
+
+def _pin_set(n: int) -> str:
+    """First ``n`` logical CPUs covering DISTINCT physical cores, from
+    /sys topology — on an SMT host ``0..n-1`` can include hyperthread
+    siblings, which would make the pinned legs model different-class
+    cores.  Falls back to ``0..n-1`` when topology is unreadable or the
+    host has fewer than ``n`` physical cores."""
+    import glob
+    import re
+
+    cores: dict[tuple, int] = {}
+    for path in glob.glob("/sys/devices/system/cpu/cpu[0-9]*/topology/core_id"):
+        m = re.search(r"cpu(\d+)/", path)
+        if not m:
+            continue
+        cpu = int(m.group(1))
+        try:
+            with open(path) as fh:
+                core = int(fh.read())
+            with open(path.replace("core_id", "physical_package_id")) as fh:
+                pkg = int(fh.read())
+        except OSError:
+            return f"0-{n - 1}"
+        key = (pkg, core)
+        if key not in cores or cpu < cores[key]:
+            cores[key] = cpu
+    picked = sorted(cores.values())[:n]
+    if len(picked) < n:
+        return f"0-{n - 1}"
+    return ",".join(str(c) for c in picked)
 
 
 def _host_ceiling(trials: int = 3, secs: float = 4.0) -> float:

@@ -217,7 +217,8 @@ def minhash_signatures(ds, col: str = "text", id_col: str = "doc_id",
 
 def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_bands: int = 32,
                         threshold: float = 0.5, max_bucket_size: int = 4096,
-                        num_buckets: int = 64):
+                        num_buckets: int = 64,
+                        checkpoint_dir: str | None = None):
     """Band the signatures, group by (band, band-hash) bucket, emit
     candidate pairs, estimate Jaccard from signature agreement, keep pairs
     with estimate ≥ ``threshold``, deduped across bands.
@@ -238,15 +239,22 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_bands: int = 32,
       estimate is one vectorized ``(n_pairs × num_perm)`` numpy compare
       per batch — no per-pair Python.
 
-    ``sig_ds`` is consumed three times and is materialized here; at
-    corpus scale signatures are a compact derived artifact
-    (num_perm × 8 B/doc) the scale path would checkpoint to parquet.
+    ``sig_ds`` is consumed three times (band explode + two signature
+    joins); it is CHECKPOINTED to parquet and re-read per consumption —
+    a compact derived artifact (num_perm × 8 B/doc) on disk instead of
+    num_perm × 8 B/doc pinned in the object store for the whole run
+    (``checkpoint_dir`` overrides the default temp location).
 
     Output: (a, b, est_jaccard) with a < b, sorted ids.
     """
-    import pandas as pd
+    import tempfile
 
-    sig_ds = sig_ds.materialize()
+    import pandas as pd
+    import ray.data as rd
+
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="csvweb_sig_ckpt_")
+    sig_ds.write_parquet(ckpt, compression="zstd")
+    sig_ds = rd.read_parquet(ckpt)
 
     def _explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
@@ -453,15 +461,20 @@ def verify_jaccard_pairs(ds, pairs_ds, col: str = "text", id_col: str = "doc_id"
 # SimHash
 
 def simhash64(text: str) -> int:
+    """64-bit SimHash: token hashes stacked once, ONE unpackbits pass per
+    document (the per-token 64-wide numpy loop cost ~10× this)."""
     toks = [t.casefold() for t in _TOKEN.findall(text)]
     if not toks:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for t in toks:
-        h = _hash64(t.encode())
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    return int(sum(1 << i for i in range(64) if acc[i] > 0))
+    hs = np.fromiter((_hash64(t.encode()) for t in toks),
+                     dtype=np.uint64, count=len(toks))
+    # (n_toks, 64) bit matrix, bit i of each hash in column i (LSB-first,
+    # matching the (h >> i) & 1 definition)
+    bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8),
+                         axis=1, bitorder="little")
+    # acc[i] = (+1 per set bit, -1 per clear bit) summed over tokens
+    acc = 2 * bits.sum(axis=0, dtype=np.int64) - len(toks)
+    return int(np.packbits(acc > 0, bitorder="little").view(np.uint64)[0])
 
 
 def simhash_signatures(ds, col: str = "text", id_col: str = "doc_id"):
@@ -561,6 +574,17 @@ def simhash_candidate_pairs(sig_ds, id_col: str = "doc_id", max_hamming: int = 3
 # ---------------------------------------------------------------------------
 # Embedding near-dup
 
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=8)
+def _hyperplanes(d: int, k: int, seed: int) -> np.ndarray:
+    """Seeded random-hyperplane matrix, memoized per worker process —
+    identical on every worker (deterministic LSH), generated once instead
+    of once per batch."""
+    return np.random.RandomState(seed).standard_normal((d, k))
+
+
 def auto_num_planes(n: int, target_bucket_size: int = 256,
                     lo: int = 4, hi: int = 24) -> int:
     """Hyperplane count sized to the corpus: 2^planes buckets ≈
@@ -605,8 +629,9 @@ def embedding_neardup_pairs(emb_ds, id_col: str = "vec_id", col: str = "embeddin
         if dim is not None and mat.shape[1] != dim:
             raise ValueError(f"embedding dim {mat.shape[1]} != {dim}")
         if num_planes:
-            rng = np.random.RandomState(seed)
-            planes = rng.standard_normal((mat.shape[1], num_planes))
+            # hoisted per-process state: generating the (seeded) matrix in
+            # every batch is the state-per-batch anti-pattern
+            planes = _hyperplanes(mat.shape[1], num_planes, seed)
             bits = (mat @ planes) > 0
             keys = (bits * (1 << np.arange(num_planes))).sum(axis=1)
         else:

@@ -244,9 +244,48 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
     # (see _input_fingerprint); the collection itself is a pushed-down
     # pruned scan over a rare tiny file, cheap at any corpus size
     wellknown = _collect_wellknown(source)
-    fingerprints = _input_fingerprint(
-        _add_shard(filter_candidates(slim), num_shards), wellknown)
+
+    # The fingerprint gates two things: (a) which prior shards are stale
+    # (resume only) and (b) the lineage recorded at manifest-write time.
+    # On a FRESH run there are no prior shards, so (a) is vacuous and the
+    # fingerprint only needs to COMPLETE before the first manifest write —
+    # it runs concurrently with convert in a driver thread (its slim
+    # column-pruned scan barely competes with the convert CPUs), removing
+    # the one phase that was serialized ahead of all useful work.
+    import threading
+
+    _fp_out: dict[int, str] = {}
+    _fp_err: list[BaseException] = []
+
+    def _fp_compute() -> None:
+        try:
+            _fp_out.update(_input_fingerprint(
+                _add_shard(filter_candidates(slim), num_shards), wellknown))
+        except BaseException as ex:  # noqa: BLE001 - re-raised at join
+            _fp_err.append(ex)
+
+    fresh = not manifest["shards"]
+    fp_thread: threading.Thread | None = None
+    if fresh:
+        fp_thread = threading.Thread(target=_fp_compute, daemon=True)
+        fp_thread.start()
+        fingerprints: dict[int, str] = {}
+    else:
+        _fp_compute()
+        if _fp_err:
+            raise _fp_err[0]
+        fingerprints = _fp_out
     _mark("fingerprint")
+
+    def _join_fingerprint() -> dict[int, str]:
+        nonlocal fp_thread
+        if fp_thread is not None:
+            fp_thread.join()
+            fp_thread = None
+            if _fp_err:
+                raise _fp_err[0]
+            fingerprints.update(_fp_out)
+        return fingerprints
 
     # --- resume bookkeeping over wave directories -----------------------
     # Shard data lives in per-WAVE directories (shards/<wave_id>/) with
@@ -281,8 +320,11 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
             manifest["shards"].pop(str(x), None)
         shutil.rmtree(os.path.join(shards_dir, wid), ignore_errors=True)
         del manifest["waves"][wid]
-    pending = [s for s in sorted(fingerprints)
-               if str(s) not in manifest["shards"]]
+    # fresh runs don't know the populated shard set yet (the fingerprint
+    # is still computing in the background) — run every configured shard;
+    # unpopulated ones contribute no rows and are dropped at manifest time
+    pending = list(range(num_shards)) if fresh else \
+        [s for s in sorted(fingerprints) if str(s) not in manifest["shards"]]
 
     wave_size = shards_per_wave or max(1, len(pending))
     for i in range(0, len(pending), wave_size):
@@ -314,6 +356,12 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
         converted.write_parquet(wdir, compression="zstd")
         _mark("convert")
 
+        # lineage needs the input fingerprints now; on a fresh run they
+        # were computing concurrently with convert, so this join is ~free
+        fingerprints = _join_fingerprint()
+        _mark("fingerprint_wait")
+        os.makedirs(wdir, exist_ok=True)  # zero-row wave writes no files
+
         # wave complete -> record lineage per shard.  Only the per-file
         # metrics rows (rkind == "f") are read back -- a columnar
         # predicate over a handful of small columns; the per-file triples
@@ -323,10 +371,13 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
         stats: dict[int, dict] = {
             s: {"files": 0, "rows": 0, "triples": 0, "errors": 0, "thash": 0}
             for s in wave}
-        dset = pads.dataset(wdir, format="parquet")
-        tbl = dset.to_table(
+        wave_files = [f for f in os.listdir(wdir) if f.endswith(".parquet")]
+        tbl = pads.dataset(
+            [os.path.join(wdir, f) for f in wave_files],
+            format="parquet").to_table(
             columns=["shard", "rows", "n_triples", "n_errors", "triples_hash"],
-            filter=pads.field("rkind") == "f")
+            filter=pads.field("rkind") == "f") if wave_files else pa.table(
+            {"shard": pa.array([], type=pa.int32())})
         for row in tbl.to_pylist():
             st = stats[int(row["shard"])]
             st["files"] += 1
@@ -334,7 +385,10 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
             st["errors"] += row["n_errors"] or 0
             st["triples"] += row["n_triples"] or 0
             st["thash"] ^= int(row["triples_hash"], 16)
-        for s in wave:
+        # a shard absent from the fingerprint map has no input files (can
+        # only happen on the fresh all-shards path) — no lineage entry
+        wave_shards = [s for s in wave if s in fingerprints]
+        for s in wave_shards:
             st = stats[s]
             manifest["shards"][str(s)] = {
                 "fingerprint": fingerprints[s],
@@ -343,7 +397,10 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
                 "triples_hash": f"{st['thash']:016x}",
                 "wave": wid,
             }
-        manifest["waves"][wid] = {"shards": list(wave), "complete": True}
+        if wave_shards:
+            manifest["waves"][wid] = {"shards": wave_shards, "complete": True}
+        else:
+            shutil.rmtree(wdir, ignore_errors=True)
         _save_manifest(manifest_path, manifest)
         _mark("shard_stats")
 
@@ -398,7 +455,8 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
     # skew measured); at 4× each partition averages 4 ids ±1 (~±25%).
     # The searchsorted partition-id assignment makes the finer boundary
     # list free on the map side.
-    merge_boundaries = sample_term_boundaries(shards_dir, 4 * merge_blocks)
+    merge_boundaries = sample_term_boundaries(shards_dir, 4 * merge_blocks,
+                                              expected_total=total_rows)
 
     if with_linking:
         import ray

@@ -520,7 +520,14 @@ def convert_batches(ds, mode: str = MODE_MINIMAL, encode_iris: bool = False,
         # sampling pass must happen DURING the pass that already holds
         # the triples (stratified per file-chunk, so unbiased)
         n_t, n_f = triples_tbl.num_rows, meta_tbl.num_rows
-        samp_idx = list(range(0, n_t, SAMPLE_STRIDE))
+        # deterministic per-batch stride offset: starting every batch's
+        # stride at row 0 over-weights each batch's FIRST triple (data is
+        # file-ordered, so that's a head-of-file bias when n_t is small)
+        samp_off = (int(f_cols["content_sha256"][0][:8], 16) % SAMPLE_STRIDE
+                    if n_t and f_cols["content_sha256"]
+                    and f_cols["content_sha256"][0] else 0)
+        samp_idx = list(range(min(samp_off, n_t - 1) if n_t else 0,
+                              n_t, SAMPLE_STRIDE))
         samp_keys = _join_cols(triples_tbl.take(samp_idx), _KEY_COLS) \
             if samp_idx else pa.array([], type=pa.string())
         n_s = len(samp_keys)
@@ -660,7 +667,8 @@ def _strip_common_prefix(col: pa.Array, min_len: int = 8):
 
 
 def sample_term_boundaries(shards_dir: str, num_parts: int,
-                           target_samples: int = 500_000) -> list[str]:
+                           target_samples: int = 500_000,
+                           expected_total: int | None = None) -> list[str]:
     """Range boundaries for the fused dedup+sort, from a DISTRIBUTED
     strided sample of the key columns.
 
@@ -697,8 +705,19 @@ def sample_term_boundaries(shards_dir: str, num_parts: int,
         keys = d.to_table(columns=["sample_key"],
                           filter=pads.field("rkind") == "s")
         keys = keys["sample_key"].to_pylist()
+    if keys and expected_total:
+        # coverage sanity check (a resumed corpus can mix waves written
+        # BEFORE the sample channel existed with new ones — the fast-path
+        # sample would then silently represent only the new waves' key
+        # distribution, re-introducing partition skew): expect roughly
+        # expected_total/SAMPLE_STRIDE keys; fall through to the
+        # distributed strided sample when coverage is partial
+        if len(keys) < (expected_total // SAMPLE_STRIDE) // 2:
+            keys = []
     if not keys:
-        total = d.count_rows()
+        # expected_total (manifest triple count) excludes the rkind='f'/'s'
+        # bookkeeping rows that d.count_rows() would include
+        total = expected_total or d.count_rows()
         if not total:
             return []
         stride = max(1, total // target_samples)
@@ -906,53 +925,49 @@ def render_ntriples_column(ds, out: str = "nt"):
         cols = {c: batch[c].combine_chunks().cast(pa.string())
                 for c in ("subj_kind", "subj", "pred", "obj_kind",
                           "obj_value", "obj_datatype", "obj_lang")}
-        empty = pa.array([""] * n, type=pa.string())
         is_lit = pc.equal(cols["obj_kind"], "l")
         # IRI-positioned text: subj + pred (+ obj when it's an IRI) + dt
         iri_joined = pc.binary_join_element_wise(
             cols["subj"], cols["pred"],
             pc.if_else(is_lit, pc.fill_null(cols["obj_datatype"], ""),
                        cols["obj_value"]), "")
-        lit_text = pc.if_else(is_lit, cols["obj_value"], empty)
+        lit_text = pc.if_else(is_lit, cols["obj_value"],
+                              pa.array([""] * n, type=pa.string()))
         needs_escape = pc.or_(
             pc.match_substring_regex(iri_joined, _IRI_SPECIAL),
             pc.match_substring_regex(lit_text, _LIT_SPECIAL))
 
+        # each term text is ONE multi-arg element-wise join (scalars
+        # broadcast), not a chain of pairwise joins — halves the kernel
+        # passes of this stage (measured ~1.5 s/M rows across ~14 passes)
         is_b = pc.equal(cols["subj_kind"], "b")
         subj_txt = pc.if_else(
             is_b,
-            pc.binary_join_element_wise(empty, cols["subj"], "_:"),
-            pc.binary_join_element_wise(
-                pc.binary_join_element_wise(empty, cols["subj"], "<"),
-                empty, ">"))
-        pred_txt = pc.binary_join_element_wise(
-            pc.binary_join_element_wise(empty, cols["pred"], "<"), empty, ">")
+            pc.binary_join_element_wise("_:", cols["subj"], ""),
+            pc.binary_join_element_wise("<", cols["subj"], ">", ""))
+        pred_txt = pc.binary_join_element_wise("<", cols["pred"], ">", "")
 
         kind = cols["obj_kind"]
         dt = cols["obj_datatype"]
         lang = cols["obj_lang"]
         ov = cols["obj_value"]
-        quoted = pc.binary_join_element_wise(
-            pc.binary_join_element_wise(empty, ov, '"'), empty, '"')
         lit_txt = pc.if_else(
             pc.is_valid(lang),
-            pc.binary_join_element_wise(quoted, pc.fill_null(lang, ""), "@"),
+            pc.binary_join_element_wise(
+                '"', ov, '"@', pc.fill_null(lang, ""), ""),
             pc.if_else(
                 pc.is_valid(dt),
                 pc.binary_join_element_wise(
-                    pc.binary_join_element_wise(quoted, pc.fill_null(dt, ""),
-                                                "^^<"), empty, ">"),
-                quoted))
+                    '"', ov, '"^^<', pc.fill_null(dt, ""), ">", ""),
+                pc.binary_join_element_wise('"', ov, '"', "")))
         obj_txt = pc.if_else(
             pc.equal(kind, "l"), lit_txt,
             pc.if_else(
                 pc.equal(kind, "b"),
-                pc.binary_join_element_wise(empty, ov, "_:"),
-                pc.binary_join_element_wise(
-                    pc.binary_join_element_wise(empty, ov, "<"), empty, ">")))
+                pc.binary_join_element_wise("_:", ov, ""),
+                pc.binary_join_element_wise("<", ov, ">", "")))
         fast = pc.binary_join_element_wise(
-            subj_txt, pred_txt, obj_txt, pa.array(["."] * n, type=pa.string()),
-            " ")
+            subj_txt, pred_txt, obj_txt, ".", " ")
 
         # per-row escaping for ONLY the masked rows (gather → render →
         # scatter): the old formulation materialized all 8 columns to
