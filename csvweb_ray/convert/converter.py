@@ -61,6 +61,11 @@ class ConversionError(Exception):
 @dataclass
 class ConversionResult:
     triples: list = field(default_factory=list)
+    #: Arrow term tables (subj_kind..obj_lang) from the vectorized fast
+    #: path — only populated when the converter ran with
+    #: ``fast_tables=True`` (the batch UDF opts in; tuple-consuming
+    #: callers like the conformance harness never see these)
+    tables: list = field(default_factory=list)
     errors: list = field(default_factory=list)
     rows: int = 0
 
@@ -91,10 +96,12 @@ class Converter:
     """
 
     def __init__(self, mode: str = MODE_STANDARD, suppress_string_datatype: bool = False,
-                 bnode_seed: str = "", encode_iris: bool = False):
+                 bnode_seed: str = "", encode_iris: bool = False,
+                 fast_tables: bool = False):
         self.mode = mode
         self.suppress_string_datatype = suppress_string_datatype
         self.encode_iris = encode_iris
+        self.fast_tables = fast_tables
         self._bnode = _BnodeFactory(bnode_seed)
         self.result = ConversionResult()
         # per-(table, column) memo for the default predicate IRI — it is
@@ -130,6 +137,25 @@ class Converter:
         self.result.errors.append(message)
 
     def _convert_table(self, group_node, table: CompiledTable, text: str, emit) -> None:
+        if self.fast_tables and self.mode == MODE_MINIMAL:
+            from .fastpath import try_fast_table
+
+            fast = try_fast_table(
+                table, text,
+                suppress_string_datatype=self.suppress_string_datatype,
+                encode_iris=self.encode_iris,
+                bnode_seed=self._bnode.seed,
+                bnode_start=self._bnode.counter)
+            if fast is not None:
+                term_tbl, nrows = fast
+                self.result.tables.append(term_tbl)
+                self.result.rows += nrows
+                # the row loop allocates one default-subject bnode per row
+                # whether used or not — advance the counter identically so
+                # any later (slow-path) table in this group mints the same
+                # labels it would in an all-slow run
+                self._bnode.counter += nrows
+                return
         table_node = None
         if self.mode == MODE_STANDARD:
             table_node = ("i", table.id) if table.id else self._bnode()
@@ -245,6 +271,13 @@ class Converter:
             s = s_default
         else:
             s = self._resolve_template(table, column.about_url, bindings)
+            if s is None:
+                # the reference's Triple ctor throws on a null subject,
+                # caught by the per-cell handler → error channel
+                # (Rdf/Converter.cs:397-399,456-461); without this the
+                # None subject would crash the batch UDF downstream
+                raise ConversionError(
+                    "aboutUrl template did not resolve to a subject node")
         if self.mode == MODE_STANDARD:
             emit(Triple(row_node, CSVW + "describes", s))
         if column.property_url is None:
@@ -262,7 +295,10 @@ class Converter:
                 p = self._pred_cache[key] = resolve_uri(table.url, "#" + name)
         else:
             p_node = self._resolve_template(table, column.property_url, bindings)
-            p = p_node[1] if p_node is not None else None
+            if p_node is None:  # null predicate → per-cell error (see above)
+                raise ConversionError(
+                    "propertyUrl template did not resolve to a predicate node")
+            p = p_node[1]
         if column.value_url is not None:
             o = self._resolve_template(table, column.value_url, bindings)
             if o is not None:
@@ -699,8 +735,12 @@ def _format_double_E(value: float) -> str:
 
 def convert_file(metadata_group: CompiledTableGroup, csv_texts, mode: str = MODE_STANDARD,
                  suppress_string_datatype: bool = False, bnode_seed: str = "",
-                 encode_iris: bool = False) -> ConversionResult:
-    """Convenience one-shot conversion."""
+                 encode_iris: bool = False, fast_tables: bool = False) -> ConversionResult:
+    """Convenience one-shot conversion.  ``fast_tables=True`` lets simple
+    tables come back as Arrow term tables in ``result.tables`` (batch-UDF
+    callers); default off so tuple-consuming callers see ``result.triples``
+    exclusively."""
     converter = Converter(mode=mode, suppress_string_datatype=suppress_string_datatype,
-                          bnode_seed=bnode_seed, encode_iris=encode_iris)
+                          bnode_seed=bnode_seed, encode_iris=encode_iris,
+                          fast_tables=fast_tables)
     return converter.convert(metadata_group, csv_texts)

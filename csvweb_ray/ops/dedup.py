@@ -42,6 +42,11 @@ _TOKEN = re.compile(r"\w+", re.UNICODE)
 # Mersenne prime hash family for minhash permutations
 _P = (1 << 61) - 1
 
+#: signature sets above this stay OFF the object store (parquet
+#: checkpoint + re-read) — below it, three zero-copy consumptions of a
+#: materialized dataset beat a disk round-trip by seconds
+CHECKPOINT_BYTES = 256 << 20
+
 
 def _hash64(data: bytes) -> int:
     return struct.unpack("<Q", hashlib.blake2b(data, digest_size=8).digest())[0]
@@ -240,10 +245,13 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_bands: int = 32,
       per batch — no per-pair Python.
 
     ``sig_ds`` is consumed three times (band explode + two signature
-    joins); it is CHECKPOINTED to parquet and re-read per consumption —
-    a compact derived artifact (num_perm × 8 B/doc) on disk instead of
-    num_perm × 8 B/doc pinned in the object store for the whole run
-    (``checkpoint_dir`` overrides the default temp location).
+    joins).  Small signature sets stay materialized in the object store
+    (three zero-copy consumptions); past ``CHECKPOINT_BYTES`` — where
+    pinning num_perm × 8 B/doc for the whole multi-stage run would hold
+    real object-store memory hostage — they are checkpointed to parquet
+    (lz4: the payload is near-incompressible random uint64s) and re-read
+    per consumption, releasing the pinned copy.  ``checkpoint_dir``
+    forces the disk path regardless of size.
 
     Output: (a, b, est_jaccard) with a < b, sorted ids.
     """
@@ -252,9 +260,14 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_bands: int = 32,
     import pandas as pd
     import ray.data as rd
 
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="csvweb_sig_ckpt_")
-    sig_ds.write_parquet(ckpt, compression="zstd")
-    sig_ds = rd.read_parquet(ckpt)
+    sig_mat = sig_ds.materialize()
+    if checkpoint_dir is not None or sig_mat.size_bytes() > CHECKPOINT_BYTES:
+        ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="csvweb_sig_ckpt_")
+        sig_mat.write_parquet(ckpt, compression="lz4")
+        del sig_mat  # release the pinned object-store copy
+        sig_ds = rd.read_parquet(ckpt)
+    else:
+        sig_ds = sig_mat
 
     def _explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()

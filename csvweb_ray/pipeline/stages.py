@@ -66,6 +66,36 @@ def _triple_digest(s, p, o) -> int:
     return int(hashlib.sha256(key.encode()).hexdigest()[:16], 16)
 
 
+def _table_digest(t: pa.Table) -> int:
+    """Order-insensitive digest of a fast-path term table: ONE sha256 over
+    the sort-canonicalized packed keys' Arrow buffers (offsets+data, so
+    row boundaries are unambiguous) instead of a per-triple Python hash.
+    Same role as the XOR of ``_triple_digest``s on the slow path — the two
+    definitions never mix for one file (path routing is a deterministic
+    function of the file), and the manifest only ever compares hashes
+    produced by the same code."""
+    keys = pc.binary_join_element_wise(
+        *(pc.fill_null(t[c].combine_chunks().cast(pa.string()), "\x00")
+          for c in ("subj_kind", "subj", "pred", "obj_kind", "obj_value",
+                    "obj_datatype", "obj_lang")), "\x1f")
+    arr = pc.take(keys, pc.sort_indices(keys))
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    # hash the exact offsets+data byte ranges (not whole buffers — Arrow
+    # pads buffers to 64 B and padding content is not guaranteed zeroed);
+    # take() yields fresh offset-0 arrays, so the ranges are exact
+    import struct
+
+    nrows = len(arr)
+    offs, data = arr.buffers()[1], arr.buffers()[2]
+    h = hashlib.sha256()
+    h.update(offs[:(nrows + 1) * 4])
+    end = struct.unpack_from("<i", offs, nrows * 4)[0]
+    if data is not None:
+        h.update(data[:end])
+    return int(h.hexdigest()[:16], 16)
+
+
 def scan_corpus(source, columns=None):
     """Corpus source → Dataset.  ``source`` may be a parquet path/dir, a
     ``pyarrow.Table``, or an existing Dataset (reference analogue: the
@@ -380,14 +410,14 @@ def _convert_one(repo: str, csv_path: str, commit: str, sha: str, csv_text: str,
     if user_metadata is not None:
         text = json_files.get(user_metadata)
         if text is None:
-            return [], user_metadata, 0, \
+            return [], [], user_metadata, 0, \
                 [f"user metadata {user_metadata} not found in corpus"]
         try:
             group = parse_metadata(text, repo_root + user_metadata,
                                    resolver=resolver,
                                    encode_templates=encode_iris)
         except Exception as ex:  # noqa: BLE001 - M15: fatal for this root
-            return [], user_metadata, 0, \
+            return [], [], user_metadata, 0, \
                 [f"metadata {user_metadata}: {type(ex).__name__}: {ex}"]
         meta_path = user_metadata
         attached = attached_csvs or {}
@@ -440,14 +470,15 @@ def _convert_one(repo: str, csv_path: str, commit: str, sha: str, csv_text: str,
     try:
         result = convert_file(group, csv_texts, mode=mode,
                               suppress_string_datatype=True, bnode_seed=seed,
-                              encode_iris=encode_iris)
+                              encode_iris=encode_iris, fast_tables=True)
         triples = result.triples
+        tables = result.tables
         errors.extend(result.errors)
         rows = result.rows
     except Exception as ex:  # noqa: BLE001 - error side-channel (M15)
-        triples, rows = [], 0
+        triples, tables, rows = [], [], 0
         errors.append(f"{type(ex).__name__}: {ex}")
-    return triples, meta_path, rows, errors
+    return triples, tables, meta_path, rows, errors
 
 
 #: one packed sort key per this many triples rides the wave checkpoint
@@ -468,8 +499,12 @@ def convert_batches(ds, mode: str = MODE_MINIMAL, encode_iris: bool = False,
     assert mode in (MODE_MINIMAL, MODE_STANDARD)
 
     def _convert(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         shards_t, shards_f = [], []
         t_cols = {c: [] for c in TRIPLE_COLUMNS}
+        fast_parts: list[pa.Table] = []   # vectorized fast-path term tables
+        fast_shards: list[np.ndarray] = []
         f_cols = {c: [] for c in
                   ("repo", "path", "commit", "content_sha256", "metadata_path",
                    "rows", "n_triples", "n_errors", "errors", "triples_hash")}
@@ -477,7 +512,7 @@ def convert_batches(ds, mode: str = MODE_MINIMAL, encode_iris: bool = False,
         for row in data:
             row_shard = int(row.get("shard", -1))
             attached = row.get("attached_csvs")
-            triples, meta_path, nrows, errs = _convert_one(
+            triples, fast_tables, meta_path, nrows, errs = _convert_one(
                 row["repo"], row["csv_path"], row["commit"],
                 row["content_sha256"], row["csv_text"],
                 json.loads(row["candidates"]), json.loads(row["json_files"]),
@@ -499,6 +534,21 @@ def convert_batches(ds, mode: str = MODE_MINIMAL, encode_iris: bool = False,
                 t_cols["commit"].append(row["commit"])
                 t_cols["content_sha256"].append(row["content_sha256"])
                 shards_t.append(row_shard)
+            n_fast = 0
+            for ft in fast_tables:
+                if not ft.num_rows:
+                    continue
+                thash ^= _table_digest(ft)
+                n_fast += ft.num_rows
+                m = ft.num_rows
+                cols = {c: ft[c] for c in ft.column_names}
+                for c, v in (("repo", row["repo"]), ("path", row["csv_path"]),
+                             ("commit", row["commit"]),
+                             ("content_sha256", row["content_sha256"])):
+                    cols[c] = pa.array([v] * m, type=pa.string())
+                fast_parts.append(pa.table(
+                    {c: cols[c] for c in TRIPLE_COLUMNS}))
+                fast_shards.append(np.full(m, row_shard, dtype=np.int64))
             shards_f.append(row_shard)
             f_cols["repo"].append(row["repo"])
             f_cols["path"].append(row["csv_path"])
@@ -506,12 +556,16 @@ def convert_batches(ds, mode: str = MODE_MINIMAL, encode_iris: bool = False,
             f_cols["content_sha256"].append(row["content_sha256"])
             f_cols["metadata_path"].append(meta_path)
             f_cols["rows"].append(nrows)
-            f_cols["n_triples"].append(len(triples))
+            f_cols["n_triples"].append(len(triples) + n_fast)
             f_cols["n_errors"].append(len(errs))
             f_cols["errors"].append(json.dumps(errs) if errs else None)
             f_cols["triples_hash"].append(f"{thash:016x}")
 
         triples_tbl = pa.Table.from_pydict(t_cols, schema=_TRIPLE_SCHEMA)
+        if fast_parts:
+            triples_tbl = pa.concat_tables(
+                [triples_tbl.cast(_TRIPLE_SCHEMA)]
+                + [p.cast(_TRIPLE_SCHEMA) for p in fast_parts]).combine_chunks()
         meta_tbl = pa.Table.from_pydict(f_cols, schema=_FILEMETA_SCHEMA)
         # every SAMPLE_STRIDE-th triple's packed sort key rides the wave
         # checkpoint as an ``rkind="s"`` row: the merge's range boundaries
@@ -520,6 +574,9 @@ def convert_batches(ds, mode: str = MODE_MINIMAL, encode_iris: bool = False,
         # sampling pass must happen DURING the pass that already holds
         # the triples (stratified per file-chunk, so unbiased)
         n_t, n_f = triples_tbl.num_rows, meta_tbl.num_rows
+        shards_t_np = np.asarray(shards_t, dtype=np.int64)
+        if fast_shards:
+            shards_t_np = np.concatenate([shards_t_np] + fast_shards)
         # deterministic per-batch stride offset: starting every batch's
         # stride at row 0 over-weights each batch's FIRST triple (data is
         # file-ordered, so that's a head-of-file bias when n_t is small)
@@ -535,7 +592,11 @@ def convert_batches(ds, mode: str = MODE_MINIMAL, encode_iris: bool = False,
         merged = {"rkind": pa.array(["t"] * n_t + ["f"] * n_f + ["s"] * n_s,
                                     type=pa.string()),
                   "shard": pa.array(
-                      shards_t + shards_f + [shards_t[i] for i in samp_idx],
+                      np.concatenate([
+                          shards_t_np,
+                          np.asarray(shards_f, dtype=np.int64),
+                          shards_t_np[samp_idx] if samp_idx
+                          else np.zeros(0, dtype=np.int64)]),
                       type=pa.int32())}
         for name in _TRIPLE_SCHEMA.names:
             left = triples_tbl[name].combine_chunks()
