@@ -577,16 +577,23 @@ def convert_batches(ds, mode: str = MODE_MINIMAL, encode_iris: bool = False,
         shards_t_np = np.asarray(shards_t, dtype=np.int64)
         if fast_shards:
             shards_t_np = np.concatenate([shards_t_np] + fast_shards)
-        # deterministic per-batch stride offset: starting every batch's
-        # stride at row 0 over-weights each batch's FIRST triple (data is
-        # file-ordered, so that's a head-of-file bias when n_t is small)
-        samp_off = (int(f_cols["content_sha256"][0][:8], 16) % SAMPLE_STRIDE
-                    if n_t and f_cols["content_sha256"]
-                    and f_cols["content_sha256"][0] else 0)
-        samp_idx = list(range(min(samp_off, n_t - 1) if n_t else 0,
-                              n_t, SAMPLE_STRIDE))
+        # seeded UNIFORM sampling, not a fixed stride: the fast path emits
+        # triples column-major in runs of (rows-per-file) rows, and when
+        # the run length shares a factor with the stride the sample
+        # aliases onto a fraction of the key space (900-row runs with
+        # stride 256 share gcd 4 → only every 4th subject id ever sampled
+        # → 2.5× sort-partition skew, measured).  The seed derives from
+        # the batch's first file sha, so re-runs sample identically.
+        if n_t:
+            seed = (int(f_cols["content_sha256"][0][:8], 16) & 0x7FFFFFFF) \
+                if f_cols["content_sha256"] and f_cols["content_sha256"][0] else 0
+            rng = np.random.RandomState(seed)
+            samp_idx = np.unique(rng.randint(
+                0, n_t, size=max(1, n_t // SAMPLE_STRIDE)))
+        else:
+            samp_idx = np.zeros(0, dtype=np.int64)
         samp_keys = _join_cols(triples_tbl.take(samp_idx), _KEY_COLS) \
-            if samp_idx else pa.array([], type=pa.string())
+            if len(samp_idx) else pa.array([], type=pa.string())
         n_s = len(samp_keys)
         # align into one table with the marker column
         merged = {"rkind": pa.array(["t"] * n_t + ["f"] * n_f + ["s"] * n_s,
@@ -595,7 +602,7 @@ def convert_batches(ds, mode: str = MODE_MINIMAL, encode_iris: bool = False,
                       np.concatenate([
                           shards_t_np,
                           np.asarray(shards_f, dtype=np.int64),
-                          shards_t_np[samp_idx] if samp_idx
+                          shards_t_np[samp_idx] if len(samp_idx)
                           else np.zeros(0, dtype=np.int64)]),
                       type=pa.int32())}
         for name in _TRIPLE_SCHEMA.names:
