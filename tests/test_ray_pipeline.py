@@ -595,3 +595,49 @@ def test_wave_checkpoint_sample_channel(ray_session, golden_run):
     assert bounds == sorted(bounds) and len(bounds) <= 3
     # boundaries must be drawn from the checkpointed sample population
     assert all(any(k >= b for k in keys) for b in bounds)
+
+
+def test_sample_coverage_fallback(ray_session, golden_run, tmp_path):
+    """When the checkpointed sample covers only part of the corpus (e.g. a
+    resume mixing waves written before the sample channel existed with new
+    ones), ``sample_term_boundaries`` must NOT silently bias boundaries to
+    the sampled waves — it falls back to the distributed strided sample
+    over the key columns (ADVICE r3)."""
+    import os
+    import shutil
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from csvweb_ray.pipeline.stages import sample_term_boundaries
+
+    out, _ = golden_run
+    shards_dir = os.path.join(out, "shards")
+    d = pads.dataset(shards_dir, format="parquet")
+    n_t = d.count_rows(filter=pads.field("rkind") == "t")
+
+    # copy the shards but strip the sample rows from every file — the
+    # pre-sample-channel wave layout
+    legacy = tmp_path / "legacy_shards"
+    for root, _dirs, files in os.walk(shards_dir):
+        rel = os.path.relpath(root, shards_dir)
+        os.makedirs(legacy / rel, exist_ok=True)
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(root, f))
+            import pyarrow.compute as pc
+
+            t = t.filter(pc.not_equal(t["rkind"], "s"))
+            pq.write_table(t, str(legacy / rel / f))
+
+    # full coverage claim with zero sample rows -> distributed fallback
+    bounds = sample_term_boundaries(str(legacy), 4, expected_total=n_t)
+    assert bounds == sorted(bounds)
+    assert len(bounds) >= 1  # fallback actually produced boundaries
+
+    # mixed layout: one wave with samples + claim of a much larger corpus
+    # -> partial coverage detected -> fallback (not the biased fast path)
+    partial = sample_term_boundaries(
+        shards_dir, 4, expected_total=max(n_t * 1000, 10_000_000))
+    assert partial == sorted(partial)
