@@ -202,11 +202,11 @@ def scaling() -> None:
         # bandwidth ceiling: same protocol with a memory-streaming burn —
         # the two pinned legs share ONE memory subsystem, unlike the real
         # N- vs 4N-NODE clusters the criterion models (each node brings
-        # its own memory controllers), so a bandwidth-bound job's
-        # achievable ratio on this host is bounded by this number, not by
-        # the pure-CPU burn ceiling.  After the vectorized convert the
-        # pipeline is largely bandwidth-bound (Arrow kernels stream
-        # columns at GB/s), making this the applicable bound.
+        # its own memory controllers).  Measured at ~0.16 on this host
+        # (DRAM saturates at ~8 streams), far BELOW the pipeline's raw
+        # efficiency — so this is a bound-ness DIAGNOSTIC (raw >> stream
+        # ceiling proves the job is not bandwidth-bound and the pure-CPU
+        # ceiling is the applicable normalization), not a normalizer.
         "host_stream_ceiling_eff": round(stream_ceiling, 3),
         "normalized_vs_stream_ceiling": round(eff / stream_ceiling, 3)
         if stream_ceiling else None,
