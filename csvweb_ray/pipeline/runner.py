@@ -439,7 +439,11 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
     ncpu = int(_ray.cluster_resources().get("CPU", 8)) \
         if _ray.is_initialized() else 8
     total_rows = sum(v.get("triples", 0) for v in manifest["shards"].values())
-    merge_blocks = max(ncpu, total_rows // 1_000_000, 1)
+    # 1.5× CPUs floor: at exactly 1 task/CPU the reduce tail IS the merge
+    # wall (boundary jitter makes 1.7× blocks; measured 9.6 s vs 7.7 s at
+    # 48 partitions on a 17M-triple corpus) — a half-extra wave lets the
+    # scheduler hide skewed reduce tasks behind finished ones
+    merge_blocks = max(ncpu + ncpu // 2, total_rows // 1_000_000, 1)
     # prune at the read: the merge only consumes triple rows and triple
     # columns — the per-file metrics columns (errors, hashes, counts) and
     # the 'f' rows are skipped at the parquet scan, not post-decode
