@@ -263,6 +263,14 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_bands: int = 32,
     sig_mat = sig_ds.materialize()
     if checkpoint_dir is not None or sig_mat.size_bytes() > CHECKPOINT_BYTES:
         ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="csvweb_sig_ckpt_")
+        if checkpoint_dir is None:
+            # the returned Dataset is lazy — the parquet must outlive every
+            # consumption, so the auto tempdir (corpus-scale signatures can
+            # be TBs) is reclaimed at interpreter exit, not eagerly
+            import atexit
+            import shutil
+
+            atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
         sig_mat.write_parquet(ckpt, compression="lz4")
         del sig_mat  # release the pinned object-store copy
         sig_ds = rd.read_parquet(ckpt)

@@ -442,8 +442,12 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
     # 1.5× CPUs floor: at exactly 1 task/CPU the reduce tail IS the merge
     # wall (boundary jitter makes 1.7× blocks; measured 9.6 s vs 7.7 s at
     # 48 partitions on a 17M-triple corpus) — a half-extra wave lets the
-    # scheduler hide skewed reduce tasks behind finished ones
-    merge_blocks = max(ncpu + ncpu // 2, total_rows // 1_000_000, 1)
+    # scheduler hide skewed reduce tasks behind finished ones.  ~700k
+    # rows/partition (measured best of 68/96/128 on a 68M corpus at 32
+    # CPUs; neutral at 8), capped at 16× CPUs so the sort's P² slice
+    # overhead grows with the cluster, not the corpus.
+    merge_blocks = max(ncpu + ncpu // 2,
+                       min(total_rows // 700_000, 16 * ncpu), 1)
     # prune at the read: the merge only consumes triple rows and triple
     # columns — the per-file metrics columns (errors, hashes, counts) and
     # the 'f' rows are skipped at the parquet scan, not post-decode

@@ -99,6 +99,53 @@ def _patch_sort_partitioning() -> None:
     _PATCHED = True
 
 
+_SAMPLING_PATCHED = False
+
+
+def _patch_parquet_sampling() -> None:
+    """Skip Ray 2.49's eager parquet fragment sampling.
+
+    ``ParquetDatasource.__init__`` calls ``sample_fragments`` at
+    DAG-BUILD time — the driver blocks while remote tasks decode sample
+    rows of EVERY projected column (2.8 s serialized ahead of all
+    parallel work for a 329 MB corpus file with a fat ``content``
+    column, re-paid on every ``read_parquet``).  Setting
+    ``decoding_size_estimation = False`` only discards the sample's
+    RESULT (``estimate_files_encoding_ratio`` short-circuits to the
+    default ratio of 5), not the sampling work itself — so the patch
+    empties ``sample_fragments`` and ``configure`` turns the flag off,
+    making the short-circuit the defined behavior.  Cost: in-memory
+    block-size estimates use disk_bytes×5 instead of a measured ratio;
+    every hot read in this repo either prunes to slim columns, passes
+    ``override_num_blocks``, or is immediately repartitioned, so block
+    sizing never rides on the estimate."""
+    global _SAMPLING_PATCHED
+    if _SAMPLING_PATCHED:
+        return
+    import ray
+
+    if not ray.__version__.startswith("2."):
+        _SAMPLING_PATCHED = True
+        return
+    try:
+        from ray.data._internal.datasource import parquet_datasource as pds
+
+        if not (hasattr(pds, "sample_fragments")
+                and hasattr(pds, "_SampleInfo")):  # internals moved
+            _SAMPLING_PATCHED = True
+            return
+        # one empty _SampleInfo (the "sampled file was empty" shape both
+        # consumers already handle): encoding ratio falls to the flag-off
+        # default, read batch size to PARQUET_READER_ROW_BATCH_SIZE —
+        # an empty LIST instead NaNs the batch-size mean
+        no_sample = [pds._SampleInfo(actual_bytes_per_row=None,
+                                     estimated_bytes_per_row=None)]
+        pds.sample_fragments = lambda *a, **k: no_sample
+    except Exception:  # noqa: BLE001 - keep the slow original
+        pass
+    _SAMPLING_PATCHED = True
+
+
 def configure(num_cpus: int | None = None, quiet: bool = True) -> None:
     import ray
     from ray.data import DataContext
@@ -111,7 +158,11 @@ def configure(num_cpus: int | None = None, quiet: bool = True) -> None:
     ctx.min_parallelism = par
     ctx.read_op_min_num_blocks = par
     ctx.default_hash_shuffle_parallelism = par
+    # must be False whenever sample_fragments is emptied: the ratio
+    # estimator would np.mean([]) otherwise
+    ctx.decoding_size_estimation = False
     _patch_sort_partitioning()
+    _patch_parquet_sampling()
     if quiet:
         ctx.enable_progress_bars = False
         ctx.execution_options.verbose_progress = False
