@@ -108,6 +108,18 @@ def scan_corpus(source, columns=None):
         return source
     if isinstance(source, pa.Table):
         return rd.from_arrow(source)
+    if columns is None or "content" in columns:
+        # fat read (whole-file text rides along): Ray's eager fragment
+        # sampling would decode sample row groups of `content` on the
+        # driver (~3 s serialized per read_parquet at 14k files) just to
+        # estimate a ratio the default approximates well for text — skip
+        # it.  Slim column-pruned reads keep the real sampler: their
+        # sample is cheap and the measured ratio drives block splitting
+        # (see raycfg.skip_parquet_sampling).
+        from ..raycfg import skip_parquet_sampling
+
+        with skip_parquet_sampling():
+            return rd.read_parquet(source, columns=columns)
     return rd.read_parquet(source, columns=columns)
 
 

@@ -99,26 +99,87 @@ def _patch_sort_partitioning() -> None:
     _PATCHED = True
 
 
+_SORT_SAMPLE_PATCHED = False
+
+
+def _patch_sort_boundary_sampling() -> None:
+    """Fix reduce-partition skew from Ray 2.49's tiny sort sample.
+
+    ``SortTaskSpec.sample_boundaries`` draws only
+    ``num_reducers * 10 / len(blocks)`` rows per block — ~970 total
+    samples to place 96 boundaries, a ±30% quantile error that showed up
+    as 0.18M–1.93M rows per reduce partition (2.75× mean) on a 68M-triple
+    merge, with the fattest partition's post-sort task setting the merge
+    critical path.  Sampling is per-key-column-row cheap (the merge sorts
+    a single int32), so draw 20× the asked count with a floor of 100 rows
+    per block: ~20k samples cuts the boundary error to a couple percent
+    for any sort this repo runs."""
+    global _SORT_SAMPLE_PATCHED
+    if _SORT_SAMPLE_PATCHED:
+        return
+    import ray
+
+    if not ray.__version__.startswith("2."):
+        _SORT_SAMPLE_PATCHED = True
+        return
+    try:
+        from ray.data._internal.planner.exchange import sort_task_spec as sts
+
+        orig = sts._sample_block
+
+        def _sample_more(block, n_samples: int, sort_key):
+            return orig(block, max(n_samples * 20, 100), sort_key)
+
+        sts._sample_block = _sample_more
+    except Exception:  # noqa: BLE001 - keep the original sampler
+        pass
+    _SORT_SAMPLE_PATCHED = True
+
+
 _SAMPLING_PATCHED = False
+_SKIP_SAMPLING = __import__("threading").local()
 
 
-def _patch_parquet_sampling() -> None:
-    """Skip Ray 2.49's eager parquet fragment sampling.
+@__import__("contextlib").contextmanager
+def skip_parquet_sampling():
+    """Scope in which ``read_parquet`` DAG-building skips Ray 2.49's
+    eager fragment sampling.
 
     ``ParquetDatasource.__init__`` calls ``sample_fragments`` at
     DAG-BUILD time — the driver blocks while remote tasks decode sample
     rows of EVERY projected column (2.8 s serialized ahead of all
     parallel work for a 329 MB corpus file with a fat ``content``
-    column, re-paid on every ``read_parquet``).  Setting
-    ``decoding_size_estimation = False`` only discards the sample's
-    RESULT (``estimate_files_encoding_ratio`` short-circuits to the
-    default ratio of 5), not the sampling work itself — so the patch
-    empties ``sample_fragments`` and ``configure`` turns the flag off,
-    making the short-circuit the defined behavior.  Cost: in-memory
-    block-size estimates use disk_bytes×5 instead of a measured ratio;
-    every hot read in this repo either prunes to slim columns, passes
-    ``override_num_blocks``, or is immediately repartitioned, so block
-    sizing never rides on the estimate."""
+    column, re-paid on every ``read_parquet``).  Inside this scope the
+    patched ``sample_fragments`` returns one empty-file ``_SampleInfo``
+    (encoding ratio → the flag-off default of 5, read batch size → the
+    reader default; an empty LIST instead NaNs the batch-size mean) and
+    ``decoding_size_estimation`` is off so the ratio estimator
+    short-circuits instead of averaging the empty sample.
+
+    SCOPED, not global, on purpose: the default ratio of 5 is right for
+    a fat snappy text column but a ~3× UNDER-estimate for slim zstd
+    triple shards — a global skip made the merge read split the 8-CPU
+    leg's 2.1M-row wave files into 3-4× too-few blocks and the merge ran
+    2.8× slower.  Use it only around reads whose projected columns are
+    wide enough that the sample decode itself is the cost (the corpus
+    ``content`` scan); every slim read keeps Ray's measured ratio."""
+    prev_on = getattr(_SKIP_SAMPLING, "on", False)
+    _SKIP_SAMPLING.on = True
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    prev_flag = ctx.decoding_size_estimation
+    ctx.decoding_size_estimation = False
+    try:
+        yield
+    finally:
+        _SKIP_SAMPLING.on = prev_on
+        ctx.decoding_size_estimation = prev_flag
+
+
+def _patch_parquet_sampling() -> None:
+    """Install the ``skip_parquet_sampling`` hook (see its docstring).
+    Outside the scope the original sampler runs untouched."""
     global _SAMPLING_PATCHED
     if _SAMPLING_PATCHED:
         return
@@ -134,13 +195,16 @@ def _patch_parquet_sampling() -> None:
                 and hasattr(pds, "_SampleInfo")):  # internals moved
             _SAMPLING_PATCHED = True
             return
-        # one empty _SampleInfo (the "sampled file was empty" shape both
-        # consumers already handle): encoding ratio falls to the flag-off
-        # default, read batch size to PARQUET_READER_ROW_BATCH_SIZE —
-        # an empty LIST instead NaNs the batch-size mean
         no_sample = [pds._SampleInfo(actual_bytes_per_row=None,
                                      estimated_bytes_per_row=None)]
-        pds.sample_fragments = lambda *a, **k: no_sample
+        orig = pds.sample_fragments
+
+        def _maybe_sample(*a, **k):
+            if getattr(_SKIP_SAMPLING, "on", False):
+                return no_sample
+            return orig(*a, **k)
+
+        pds.sample_fragments = _maybe_sample
     except Exception:  # noqa: BLE001 - keep the slow original
         pass
     _SAMPLING_PATCHED = True
@@ -158,10 +222,8 @@ def configure(num_cpus: int | None = None, quiet: bool = True) -> None:
     ctx.min_parallelism = par
     ctx.read_op_min_num_blocks = par
     ctx.default_hash_shuffle_parallelism = par
-    # must be False whenever sample_fragments is emptied: the ratio
-    # estimator would np.mean([]) otherwise
-    ctx.decoding_size_estimation = False
     _patch_sort_partitioning()
+    _patch_sort_boundary_sampling()
     _patch_parquet_sampling()
     if quiet:
         ctx.enable_progress_bars = False
