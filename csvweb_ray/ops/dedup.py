@@ -278,26 +278,59 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_bands: int = 32,
         sig_ds = sig_mat
 
     def _explode(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        sigs = batch["signature"].to_pylist()
-        rows_id, rows_band, rows_bh = [], [], []
-        for i, sig in zip(ids, sigs):
-            arr = np.asarray(sig, dtype=np.uint64)
-            rows_per_band = len(arr) // num_bands
-            for band in range(num_bands):
-                chunk = arr[band * rows_per_band:(band + 1) * rows_per_band]
-                rows_id.append(i)
-                rows_band.append(band)
-                rows_bh.append(_hash64(chunk.tobytes()))
+        n = batch.num_rows
+        sig_col = batch["signature"].combine_chunks()
+        offs = np.diff(sig_col.offsets.to_numpy(zero_copy_only=False))
+        if n and offs.size and (offs == offs[0]).all() and offs[0] >= num_bands:
+            # uniform signature length (the normal case): zero-copy flatten
+            # → (docs, bands, lanes) view, one vectorized FNV-1a fold over
+            # the lane axis — no per-doc×band Python.  Band-hash VALUES
+            # differ from the blake2b fallback below, but LSH only uses
+            # hash EQUALITY (equal band chunks collide under any
+            # deterministic hash; 64-bit cross-collisions are negligible),
+            # so the candidate-pair set is unchanged.
+            num_perm = int(offs[0])
+            rpb = num_perm // num_bands
+            # a sliced ListArray's .values spans the UNsliced child —
+            # window it by the first offset before reshaping
+            first = int(sig_col.offsets[0].as_py())
+            flat = sig_col.values.to_numpy(zero_copy_only=False) \
+                [first:first + n * num_perm].astype(np.uint64, copy=False)
+            lanes = flat.reshape(n, num_perm)[:, :num_bands * rpb] \
+                .reshape(n, num_bands, rpb)
+            h = np.full((n, num_bands), 0xCBF29CE484222325, dtype=np.uint64)
+            fnv = np.uint64(0x100000001B3)
+            for j in range(rpb):
+                h ^= lanes[:, :, j]
+                h *= fnv
+            ids_np = np.repeat(
+                batch[id_col].combine_chunks().to_numpy(zero_copy_only=False),
+                num_bands)
+            bands_np = np.tile(np.arange(num_bands, dtype=np.int64), n)
+            bh = h.reshape(-1)
+        else:  # ragged / degenerate signatures: exact per-doc fallback
+            ids = batch[id_col].to_pylist()
+            sigs = batch["signature"].to_pylist()
+            rows_id, rows_band, rows_bh = [], [], []
+            for i, sig in zip(ids, sigs):
+                arr = np.asarray(sig, dtype=np.uint64)
+                rows_per_band = len(arr) // num_bands
+                for band in range(num_bands):
+                    chunk = arr[band * rows_per_band:(band + 1) * rows_per_band]
+                    rows_id.append(i)
+                    rows_band.append(band)
+                    rows_bh.append(_hash64(chunk.tobytes()))
+            ids_np = np.asarray(rows_id)
+            bands_np = np.asarray(rows_band, dtype=np.int64)
+            bh = np.asarray(rows_bh, dtype=np.uint64)
         # the exchange groups by a BOUNDED bucket of the (band, band_hash)
         # key, not the key itself: one pandas call per (band, hash) would
         # be one call per document×band — the map_groups-cardinality trap
-        bh = np.asarray(rows_bh, dtype=np.uint64)
-        bucket = ((bh ^ (np.asarray(rows_band, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
+        bucket = ((bh ^ (bands_np.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
                   & np.uint64(num_buckets - 1)).astype(np.int32)
         return pa.Table.from_pydict({
-            id_col: pa.array(rows_id),
-            "band": pa.array(rows_band, type=pa.int32()),
+            id_col: pa.array(ids_np),
+            "band": pa.array(bands_np, type=pa.int32()),
             "band_hash": pa.array(bh, type=pa.uint64()),
             "bucket": pa.array(bucket, type=pa.int32()),
         })
