@@ -276,9 +276,26 @@ def rows_to_table(rows: list[dict]) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=schema)
 
 
-def write_corpus(rows: list[dict], out_path: str) -> str:
+def write_corpus(rows: list[dict], out_path: str, files: int = 1) -> str:
+    """Write corpus rows as parquet: one file, or (``files`` > 1) a
+    DIRECTORY of ``part-*.parquet``.  Ray parallelizes parquet reads per
+    FILE, so a single-file corpus serializes the whole decode into one
+    read task and chains every downstream groupby's partition count to
+    that one task's block split — a layout artifact no real corpus has
+    (100 TB is millions of files).  Row content and order are identical
+    either way."""
     import pyarrow.parquet as pq
 
-    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    pq.write_table(rows_to_table(rows), out_path)
+    table = rows_to_table(rows)
+    if files <= 1:
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        pq.write_table(table, out_path)
+        return out_path
+    os.makedirs(out_path, exist_ok=True)
+    n = table.num_rows
+    per = (n + files - 1) // files
+    for i in range(files):
+        chunk = table.slice(i * per, per)
+        if chunk.num_rows:
+            pq.write_table(chunk, os.path.join(out_path, f"part-{i:05d}.parquet"))
     return out_path
