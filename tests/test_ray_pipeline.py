@@ -641,3 +641,19 @@ def test_sample_coverage_fallback(ray_session, golden_run, tmp_path):
     partial = sample_term_boundaries(
         shards_dir, 4, expected_total=max(n_t * 1000, 10_000_000))
     assert partial == sorted(partial)
+
+
+def test_write_corpus_multifile_roundtrip(tmp_path):
+    """Multi-file corpus layout (bench cache shape) is content-identical
+    to the single-file layout — same rows, same order (pure pyarrow)."""
+    import pyarrow.parquet as pq
+
+    from csvweb_ray.corpus import synth_corpus_rows, write_corpus
+
+    rows = synth_corpus_rows(n_files=10, rows_per_file=5, seed=3)
+    single = write_corpus(rows, str(tmp_path / "single.parquet"))
+    multi = write_corpus(rows, str(tmp_path / "multi"), files=4)
+    t1 = pq.read_table(single)
+    t2 = pq.ParquetDataset(multi).read()
+    assert t1.schema.names == t2.schema.names
+    assert t1.equals(t2.select(t1.schema.names).cast(t1.schema))
