@@ -111,7 +111,11 @@ class Converter:
 
     # -- public -------------------------------------------------------------
 
-    def convert(self, group: CompiledTableGroup, csv_texts) -> ConversionResult:
+    def convert(self, group: CompiledTableGroup, csv_texts,
+                only_table_url: str | None = None) -> ConversionResult:
+        """``only_table_url`` filters emission to one table WITHOUT
+        mutating the (possibly shared/cached) group — the non-mutating
+        equivalent of setting ``suppress_output`` on every other table."""
         if not group.tables:
             self._error("The CSV metadata must contain at least one table definition.")
             return self.result
@@ -122,7 +126,8 @@ class Converter:
             emit(Triple(group_node, RDF_TYPE, ("i", CSVW + "TableGroup")))
             self._emit_common_properties(group_node, group.common_properties)
         for table in group.tables:
-            if table.suppress_output:
+            if table.suppress_output or (only_table_url is not None
+                                         and table.url != only_table_url):
                 continue
             text = csv_texts(table.url) if callable(csv_texts) else csv_texts.get(table.url)
             if text is None:
@@ -735,7 +740,8 @@ def _format_double_E(value: float) -> str:
 
 def convert_file(metadata_group: CompiledTableGroup, csv_texts, mode: str = MODE_STANDARD,
                  suppress_string_datatype: bool = False, bnode_seed: str = "",
-                 encode_iris: bool = False, fast_tables: bool = False) -> ConversionResult:
+                 encode_iris: bool = False, fast_tables: bool = False,
+                 only_table_url: str | None = None) -> ConversionResult:
     """Convenience one-shot conversion.  ``fast_tables=True`` lets simple
     tables come back as Arrow term tables in ``result.tables`` (batch-UDF
     callers); default off so tuple-consuming callers see ``result.triples``
@@ -743,4 +749,5 @@ def convert_file(metadata_group: CompiledTableGroup, csv_texts, mode: str = MODE
     converter = Converter(mode=mode, suppress_string_datatype=suppress_string_datatype,
                           bnode_seed=bnode_seed, encode_iris=encode_iris,
                           fast_tables=fast_tables)
-    return converter.convert(metadata_group, csv_texts)
+    return converter.convert(metadata_group, csv_texts,
+                             only_table_url=only_table_url)

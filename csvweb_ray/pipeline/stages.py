@@ -393,7 +393,8 @@ def pair_files(ds, pairing_salt: int = 1, wellknown: dict | None = None):
 def _convert_one(repo: str, csv_path: str, commit: str, sha: str, csv_text: str,
                  candidates: list[str], json_files: dict, mode: str,
                  encode_iris: bool = False, user_metadata: str | None = None,
-                 attached_csvs: dict | None = None):
+                 attached_csvs: dict | None = None,
+                 meta_cache: dict | None = None, cache_key=None):
     """Convert one conversion root → (triples, filemeta).  Pure; called per
     row inside the convert UDF.  Reference: the whole of
     ``Rdf/Converter.cs:227-471`` plus the discovery reference-check at
@@ -418,6 +419,7 @@ def _convert_one(repo: str, csv_path: str, commit: str, sha: str, csv_text: str,
     errors: list[str] = []
     group = None
     meta_path = None
+    only_table_url = None  # user-metadata roots convert every table
 
     if user_metadata is not None:
         text = json_files.get(user_metadata)
@@ -443,16 +445,37 @@ def _convert_one(repo: str, csv_path: str, commit: str, sha: str, csv_text: str,
                 return attached[rel]
             return attached.get(rel.split("?", 1)[0])
     else:
+        only_table_url = root_url
         for cand in candidates:
             text = json_files.get(cand)
             if text is None:
                 continue
-            try:
-                parsed = parse_metadata(text, repo_root + cand, resolver=resolver,
-                                        encode_templates=encode_iris)
-            except Exception as ex:  # noqa: BLE001 - any parse failure (incl.
-                # malformed JSON) is an M15 error-channel event, never fatal
-                errors.append(f"metadata {cand}: {type(ex).__name__}: {ex}")
+            # every CSV of a directory re-parses the same metadata
+            # candidates (K csvs × M candidates parses per directory —
+            # measured 28% of the convert UDF).  The parse result is
+            # shared READ-ONLY across the batch: (cache_key, cand) fully
+            # determines the parse inputs because cache_key fingerprints
+            # the directory's serialized sidecar map (text AND resolver
+            # lookups both come from it); per-file table selection is the
+            # non-mutating ``only_table_url`` filter, never a write to
+            # the cached group.  Parse FAILURES cache as ("err", msg) so
+            # the M15 error row still repeats per file.
+            ck = (cache_key, cand) if (meta_cache is not None
+                                       and cache_key is not None) else None
+            parsed = meta_cache.get(ck) if ck is not None else None
+            if parsed is None:
+                try:
+                    parsed = parse_metadata(text, repo_root + cand,
+                                            resolver=resolver,
+                                            encode_templates=encode_iris)
+                except Exception as ex:  # noqa: BLE001 - any parse failure
+                    # (incl. malformed JSON) is an M15 error-channel
+                    # event, never fatal
+                    parsed = ("err", f"metadata {cand}: {type(ex).__name__}: {ex}")
+                if ck is not None:
+                    meta_cache[ck] = parsed
+            if isinstance(parsed, tuple) and parsed and parsed[0] == "err":
+                errors.append(parsed[1])
                 continue
             if any(t.url == root_url for t in parsed.tables):
                 group, meta_path = parsed, cand
@@ -469,10 +492,8 @@ def _convert_one(repo: str, csv_path: str, commit: str, sha: str, csv_text: str,
         # each CSV is one conversion root: emit only its own table's
         # triples (path-convention multi-table groups are converted once
         # per member CSV, each member owning its table — exactly-once
-        # without cross-file coordination)
-        for t in group.tables:
-            if t.url != root_url:
-                t.suppress_output = True
+        # without cross-file coordination).  only_table_url (above) does
+        # this without mutating the cached group.
 
         seed = f"{repo}|{commit}|{meta_path or ''}|{csv_path}"
 
@@ -482,7 +503,8 @@ def _convert_one(repo: str, csv_path: str, commit: str, sha: str, csv_text: str,
     try:
         result = convert_file(group, csv_texts, mode=mode,
                               suppress_string_datatype=True, bnode_seed=seed,
-                              encode_iris=encode_iris, fast_tables=True)
+                              encode_iris=encode_iris, fast_tables=True,
+                              only_table_url=only_table_url)
         triples = result.triples
         tables = result.tables
         errors.extend(result.errors)
@@ -521,16 +543,27 @@ def convert_batches(ds, mode: str = MODE_MINIMAL, encode_iris: bool = False,
                   ("repo", "path", "commit", "content_sha256", "metadata_path",
                    "rows", "n_triples", "n_errors", "errors", "triples_hash")}
         data = batch.to_pylist()
+        # per-task caches: a directory's sidecar map and parsed metadata
+        # are shared by every CSV row of that directory in the batch —
+        # keyed by the serialized blob itself (a content fingerprint that
+        # also pins resolver behavior), never by path alone
+        meta_cache: dict = {}
+        jf_cache: dict[tuple, dict] = {}
         for row in data:
             row_shard = int(row.get("shard", -1))
             attached = row.get("attached_csvs")
+            jf_key = (row["repo"], row["json_files"])
+            jf = jf_cache.get(jf_key)
+            if jf is None:
+                jf = jf_cache[jf_key] = json.loads(row["json_files"])
             triples, fast_tables, meta_path, nrows, errs = _convert_one(
                 row["repo"], row["csv_path"], row["commit"],
                 row["content_sha256"], row["csv_text"],
-                json.loads(row["candidates"]), json.loads(row["json_files"]),
+                json.loads(row["candidates"]), jf,
                 mode, encode_iris=encode_iris,
                 user_metadata=row.get("user_metadata"),
-                attached_csvs=json.loads(attached) if attached else None)
+                attached_csvs=json.loads(attached) if attached else None,
+                meta_cache=meta_cache, cache_key=jf_key)
             thash = 0
             for (s, p, o) in triples:
                 thash ^= _triple_digest(s, p, o)
@@ -557,7 +590,9 @@ def convert_batches(ds, mode: str = MODE_MINIMAL, encode_iris: bool = False,
                 for c, v in (("repo", row["repo"]), ("path", row["csv_path"]),
                              ("commit", row["commit"]),
                              ("content_sha256", row["content_sha256"])):
-                    cols[c] = pa.array([v] * m, type=pa.string())
+                    # C-speed constant column (a [v]*m Python list costs
+                    # ~15% of the batch UDF at 4.8k rows/file)
+                    cols[c] = pa.nulls(m, type=pa.string()).fill_null(v)
                 fast_parts.append(pa.table(
                     {c: cols[c] for c in TRIPLE_COLUMNS}))
                 fast_shards.append(np.full(m, row_shard, dtype=np.int64))
