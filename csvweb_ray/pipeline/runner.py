@@ -448,6 +448,16 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
     # overhead grows with the cluster, not the corpus.
     merge_blocks = max(ncpu + ncpu // 2,
                        min(total_rows // 700_000, 16 * ncpu), 1)
+    # requesting more blocks than shard FILES makes Ray split fragments,
+    # and an uneven request splits unevenly (194 blocks on 128 files →
+    # 64.1 s vs 55.1 s for the even 256 on a 136M-triple merge): snap to
+    # a whole multiple of the file count so every file splits k ways
+    n_shard_files = sum(
+        1 for _, _, fs in os.walk(shards_dir)
+        for f in fs if f.endswith(".parquet"))
+    if n_shard_files and merge_blocks > n_shard_files:
+        k = -(-merge_blocks // n_shard_files)  # ceil
+        merge_blocks = n_shard_files * k
     # prune at the read: the merge only consumes triple rows and triple
     # columns — the per-file metrics columns (errors, hashes, counts) and
     # the 'f' rows are skipped at the parquet scan, not post-decode
