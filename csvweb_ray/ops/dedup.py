@@ -47,6 +47,14 @@ _P = (1 << 61) - 1
 #: materialized dataset beat a disk round-trip by seconds
 CHECKPOINT_BYTES = 256 << 20
 
+#: per-doc value sets (signatures / shingle sets) at or below this are
+#: BROADCAST (``ray.put`` once, zero-copy ``ray.get`` per task) and the
+#: pair pipeline attaches them by sorted-id lookup inside ``map_batches``
+#: instead of bucketed join shuffles — the "broadcast the small side"
+#: pattern.  Above it, the explicit bucketed hash joins run (nothing
+#: driver-sized ever rides an exchange).
+BROADCAST_BYTES = 64 << 20
+
 
 def _hash64(data: bytes) -> int:
     return struct.unpack("<Q", hashlib.blake2b(data, digest_size=8).digest())[0]
@@ -220,10 +228,35 @@ def minhash_signatures(ds, col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(_sig, batch_format="pyarrow")
 
 
+def _broadcast_uniform_sigs(sig_mat, id_col: str):
+    """``ray.put`` a small signature set as ``(ids_sorted, sig_matrix)``
+    numpy arrays for in-task lookup, or ``None`` when the signatures are
+    ragged/empty (the join path handles those)."""
+    import ray
+
+    tbl = pa.concat_tables(ray.get(sig_mat.to_arrow_refs()))
+    if not tbl.num_rows:
+        return None
+    sig = tbl["signature"].combine_chunks()
+    offs = np.diff(sig.offsets.to_numpy(zero_copy_only=False))
+    if not offs.size or not (offs == offs[0]).all() or not offs[0]:
+        return None
+    num_perm = int(offs[0])
+    first = int(sig.offsets[0].as_py())
+    mat = sig.values.to_numpy(zero_copy_only=False) \
+        [first:first + tbl.num_rows * num_perm] \
+        .astype(np.uint64, copy=False).reshape(tbl.num_rows, num_perm)
+    ids = tbl[id_col].combine_chunks().to_numpy(zero_copy_only=False) \
+        .astype(np.int64, copy=False)
+    order = np.argsort(ids, kind="stable")
+    return ray.put((ids[order], mat[order]))
+
+
 def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_bands: int = 32,
                         threshold: float = 0.5, max_bucket_size: int = 4096,
                         num_buckets: int = 64,
-                        checkpoint_dir: str | None = None):
+                        checkpoint_dir: str | None = None,
+                        broadcast_bytes: int = BROADCAST_BYTES):
     """Band the signatures, group by (band, band-hash) bucket, emit
     candidate pairs, estimate Jaccard from signature agreement, keep pairs
     with estimate ≥ ``threshold``, deduped across bands.
@@ -244,22 +277,29 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_bands: int = 32,
       estimate is one vectorized ``(n_pairs × num_perm)`` numpy compare
       per batch — no per-pair Python.
 
-    ``sig_ds`` is consumed three times (band explode + two signature
-    joins).  Small signature sets stay materialized in the object store
-    (three zero-copy consumptions); past ``CHECKPOINT_BYTES`` — where
-    pinning num_perm × 8 B/doc for the whole multi-stage run would hold
-    real object-store memory hostage — they are checkpointed to parquet
-    (lz4: the payload is near-incompressible random uint64s) and re-read
-    per consumption, releasing the pinned copy.  ``checkpoint_dir``
-    forces the disk path regardless of size.
+    Signature storage triage by materialized size:
+
+    - ≤ ``broadcast_bytes``: the signatures are BROADCAST (``ray.put``
+      once, zero-copy per task) and the estimate + threshold filter run
+      INSIDE the band-bucket reduce via sorted-id lookup — the two
+      bucketed signature-join shuffles disappear and only the slim
+      surviving ``(a, b, est)`` rows ride one final dedup exchange;
+    - ≤ ``CHECKPOINT_BYTES``: materialized in the object store, three
+      zero-copy consumptions (band explode + two bucketed joins);
+    - larger (or ``checkpoint_dir`` set): checkpointed to parquet (lz4:
+      the payload is near-incompressible random uint64s) and re-read per
+      consumption — pinning num_perm × 8 B/doc for the whole multi-stage
+      run would hold real object-store memory hostage.
 
     Output: (a, b, est_jaccard) with a < b, sorted ids.
     """
     import tempfile
 
     import pandas as pd
+    import ray
     import ray.data as rd
 
+    bcast = None
     sig_mat = sig_ds.materialize()
     if checkpoint_dir is not None or sig_mat.size_bytes() > CHECKPOINT_BYTES:
         ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="csvweb_sig_ckpt_")
@@ -276,6 +316,8 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_bands: int = 32,
         sig_ds = rd.read_parquet(ckpt)
     else:
         sig_ds = sig_mat
+        if sig_mat.size_bytes() <= broadcast_bytes:
+            bcast = _broadcast_uniform_sigs(sig_mat, id_col)
 
     def _explode(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -372,6 +414,46 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_bands: int = 32,
         # repeat a pair; local dedup before the (a, b) exchange
         return df.drop_duplicates(["a", "b"])
 
+    if bcast is not None:
+        # broadcast path: signatures looked up in-task, estimate +
+        # threshold filter fused into the band-bucket reduce; only the
+        # slim survivors ride the final (global) pair-dedup exchange
+        _EMPTY_EST = {"a": pd.Series([], dtype="int64"),
+                      "b": pd.Series([], dtype="int64"),
+                      "est_jaccard": pd.Series([], dtype="float64"),
+                      "db": pd.Series([], dtype="int64")}
+
+        def _bucket_pairs_est(g: pd.DataFrame) -> pd.DataFrame:
+            df = _bucket_pairs(g)
+            if df.empty:
+                return pd.DataFrame(_EMPTY_EST)
+            ids, mat = ray.get(bcast)
+            a = df["a"].to_numpy()
+            b = df["b"].to_numpy()
+            ia = np.minimum(np.searchsorted(ids, a), len(ids) - 1)
+            ib = np.minimum(np.searchsorted(ids, b), len(ids) - 1)
+            # pairs derive from the same signature set, so every id is
+            # present; the exact-match guard keeps inner-join parity
+            # regardless (bcast is never built from an empty set)
+            ok = (ids[ia] == a) & (ids[ib] == b)
+            est = np.zeros(len(df), dtype=np.float64)
+            est[ok] = (mat[ia[ok]] == mat[ib[ok]]).mean(axis=1)
+            keep = ok & (est >= threshold)
+            if not keep.any():
+                return pd.DataFrame(_EMPTY_EST)
+            return pd.DataFrame({
+                "a": a[keep], "b": b[keep], "est_jaccard": est[keep],
+                "db": a[keep] & (num_buckets - 1)})
+
+        def _dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+            return g.drop_duplicates(["a", "b"]).drop(columns=["db"])
+
+        return (sig_ds.map_batches(_explode, batch_format="pyarrow")
+                .groupby("bucket", num_partitions=num_buckets)
+                .map_groups(_bucket_pairs_est, batch_format="pandas")
+                .groupby("db", num_partitions=num_buckets)
+                .map_groups(_dedup_group, batch_format="pandas"))
+
     cand = (sig_ds.map_batches(_explode, batch_format="pyarrow")
             .groupby("bucket", num_partitions=num_buckets)
             .map_groups(_bucket_pairs, batch_format="pandas"))
@@ -459,16 +541,27 @@ def ngram_jaccard_allpairs(ds, col: str = "text", id_col: str = "doc_id",
 
 def verify_jaccard_pairs(ds, pairs_ds, col: str = "text", id_col: str = "doc_id",
                          ngram: int = 3, threshold: float = 0.5,
-                         num_buckets: int = 64):
+                         num_buckets: int = 64,
+                         broadcast_bytes: int = BROADCAST_BYTES,
+                         checkpoint_dir: str | None = None):
     """Exact n-gram-Jaccard verification of candidate pairs, distributed
     end-to-end: per-doc shingle sets are computed in one vectorized pass
     (the same per-doc cost MinHash already paid), re-attached to the pair
-    list via two bucketed hash joins (``_attach_value`` — the candidate
-    list never touches the driver), and the exact Jaccard is computed per
-    candidate row with C-speed ``np.intersect1d`` over the sorted hash
-    arrays.  Pairs referencing missing docs drop out of the inner join
-    (same semantics as the old grouped formulation)."""
+    list, and the exact Jaccard is computed per candidate row with C-speed
+    ``np.intersect1d`` over the sorted hash arrays.  Pairs referencing
+    missing docs drop out (inner-join semantics either path).
+
+    Shingle-set storage triage by materialized size (mirrors
+    ``lsh_candidate_pairs``): ≤ ``broadcast_bytes`` → ``ray.put`` a
+    per-doc dict once and attach by in-task lookup (ZERO shuffles); ≤
+    ``CHECKPOINT_BYTES`` → materialized, two bucketed hash joins
+    (``_attach_value`` — the candidate list never touches the driver);
+    larger → parquet checkpoint + re-read per join consumption."""
+    import tempfile
+
     import pandas as pd
+    import ray
+    import ray.data as rd
 
     def _shingles(batch: pa.Table) -> pa.Table:
         sh = [shingle_hashes(t or "", ngram=ngram).tolist()
@@ -478,6 +571,60 @@ def verify_jaccard_pairs(ds, pairs_ds, col: str = "text", id_col: str = "doc_id"
             "shingles": pa.array(sh, type=pa.list_(pa.uint64()))})
 
     sh_ds = ds.map_batches(_shingles, batch_format="pyarrow")
+    sh_mat = sh_ds.materialize()
+    if checkpoint_dir is not None or sh_mat.size_bytes() > CHECKPOINT_BYTES:
+        ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="csvweb_sh_ckpt_")
+        if checkpoint_dir is None:
+            import atexit
+            import shutil
+
+            atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+        sh_mat.write_parquet(ckpt, compression="lz4")
+        del sh_mat
+        sh_ds = rd.read_parquet(ckpt)
+    else:
+        sh_ds = sh_mat
+        if sh_mat.size_bytes() <= broadcast_bytes:
+            tbl = pa.concat_tables(ray.get(sh_mat.to_arrow_refs()))
+            sh_col = tbl["shingles"].combine_chunks() if tbl.num_rows else None
+            if sh_col is not None:
+                # offsets are absolute into the (unsliced) values child,
+                # so o0:o1 windows are correct even for sliced arrays
+                offs = sh_col.offsets.to_numpy(zero_copy_only=False)
+                vals = sh_col.values.to_numpy(zero_copy_only=False) \
+                    .astype(np.uint64, copy=False)
+                lut = {int(i): vals[int(o0):int(o1)]
+                       for i, o0, o1 in zip(tbl[id_col].to_pylist(),
+                                            offs[:-1], offs[1:])}
+                lut_ref = ray.put(lut)
+
+                def _jaccard_lookup(batch: pd.DataFrame) -> pd.DataFrame:
+                    empty = pd.DataFrame({
+                        "a": pd.Series([], dtype="int64"),
+                        "b": pd.Series([], dtype="int64"),
+                        "jaccard": pd.Series([], dtype="float64")})
+                    if batch.empty:
+                        return empty
+                    table = ray.get(lut_ref)
+                    rows = {"a": [], "b": [], "jaccard": []}
+                    for a_id, b_id in zip(batch["a"], batch["b"]):
+                        s1 = table.get(int(a_id))
+                        s2 = table.get(int(b_id))
+                        if s1 is None or s2 is None:  # inner-join parity
+                            continue
+                        inter = np.intersect1d(s1, s2,
+                                               assume_unique=True).size
+                        union = s1.size + s2.size - inter
+                        jac = (inter / union) if union else 1.0
+                        if jac >= threshold:
+                            rows["a"].append(int(a_id))
+                            rows["b"].append(int(b_id))
+                            rows["jaccard"].append(jac)
+                    return pd.DataFrame(rows) if rows["a"] else empty
+
+                return pairs_ds.map_batches(_jaccard_lookup,
+                                            batch_format="pandas")
+
     slim = pairs_ds.map_batches(
         lambda b: pa.table({"a": b["a"], "b": b["b"]}), batch_format="pyarrow")
     sh_t = pa.list_(pa.uint64())

@@ -346,3 +346,54 @@ def test_image_decoder_injected(ray_session):
     out = decode_images(_media(ray_session), height=4, width=4,
                         concurrency=1, batch_size=4, decoder=gray).to_pandas()
     assert all(len(set(p)) == 1 for p in out.pixels)  # uniform gray frames
+
+
+def test_lsh_broadcast_matches_join_path(ray_session):
+    """The size-gated broadcast attach (signatures via ray.put + in-task
+    lookup) and the bucketed-join scale path must emit identical
+    (a, b, est_jaccard) sets — on a mixed corpus with exact dups, near
+    dups, a hot duplicate run crossing the bucket cap, and empty docs."""
+    import ray.data as rd
+
+    from csvweb_ray.ops.dedup import lsh_candidate_pairs, minhash_signatures
+
+    rows = list(DOCS) + [
+        {"doc_id": 100 + i, "text": "hot duplicated crawl page body"}
+        for i in range(30)]
+
+    def run(**kw):
+        sigs = minhash_signatures(
+            rd.from_arrow(pa.Table.from_pylist(rows)), num_perm=32, ngram=2)
+        df = lsh_candidate_pairs(sigs, num_bands=8, threshold=0.4,
+                                 max_bucket_size=8, **kw).to_pandas()
+        return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+    bcast = run()                      # small input → broadcast path
+    joined = run(broadcast_bytes=0)    # forced bucketed-join path
+    assert len(bcast) == len(joined) > 0
+    assert (bcast[["a", "b"]].values == joined[["a", "b"]].values).all()
+    assert np.allclose(bcast.est_jaccard, joined.est_jaccard)
+
+
+def test_verify_jaccard_broadcast_matches_join_path(ray_session):
+    """Broadcast shingle lookup ≡ bucketed-join verify, including pairs
+    referencing ids absent from the document set (inner-join parity)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from csvweb_ray.ops.dedup import verify_jaccard_pairs
+
+    docs = _docs(ray_session, DOCS)
+    pairs = rd.from_pandas(pd.DataFrame(
+        {"a": [1, 1, 2, 4, 999], "b": [2, 3, 3, 5, 1]}))
+
+    def run(**kw):
+        df = verify_jaccard_pairs(docs, pairs, ngram=2, threshold=0.0,
+                                  **kw).to_pandas()
+        return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+    bcast = run()
+    joined = run(broadcast_bytes=0)
+    assert len(bcast) == len(joined) == 4       # the 999 pair drops out
+    assert (bcast[["a", "b"]].values == joined[["a", "b"]].values).all()
+    assert np.allclose(bcast.jaccard, joined.jaccard)
