@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "dedup_first", "sort_topk", "window_tumbling", "asof_join",
     "exact_dedup", "token_count", "quality_score", "minhash_pairs",
     "simhash_pairs", "fingerprint", "ann_topk",
+    "ngram_jaccard", "embedding_neardup",
 ]
 
 
