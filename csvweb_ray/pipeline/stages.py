@@ -610,9 +610,13 @@ def convert_batches(ds, mode: str = MODE_MINIMAL, encode_iris: bool = False,
 
         triples_tbl = pa.Table.from_pydict(t_cols, schema=_TRIPLE_SCHEMA)
         if fast_parts:
+            # chunked concat — each fast table rides as its own chunk; the
+            # copying combine_chunks pass (one full rewrite of the batch's
+            # ~100 MB of term bytes) is pure waste here because the merged
+            # assembly below is chunk-based too
             triples_tbl = pa.concat_tables(
                 [triples_tbl.cast(_TRIPLE_SCHEMA)]
-                + [p.cast(_TRIPLE_SCHEMA) for p in fast_parts]).combine_chunks()
+                + [p.cast(_TRIPLE_SCHEMA) for p in fast_parts])
         meta_tbl = pa.Table.from_pydict(f_cols, schema=_FILEMETA_SCHEMA)
         # every SAMPLE_STRIDE-th triple's packed sort key rides the wave
         # checkpoint as an ``rkind="s"`` row: the merge's range boundaries
@@ -642,9 +646,19 @@ def convert_batches(ds, mode: str = MODE_MINIMAL, encode_iris: bool = False,
         samp_keys = _join_cols(triples_tbl.take(samp_idx), _KEY_COLS) \
             if len(samp_idx) else pa.array([], type=pa.string())
         n_s = len(samp_keys)
-        # align into one table with the marker column
-        merged = {"rkind": pa.array(["t"] * n_t + ["f"] * n_f + ["s"] * n_s,
-                                    type=pa.string()),
+        # align into one table with the marker column.  SINGLE-COPY
+        # assembly: the per-file fast-path chunks flow straight into ONE
+        # concat_arrays pass (a fully chunked zero-copy table was tried —
+        # hundreds of ~1k-row chunks per block made the parquet write and
+        # block serialization 1.5× slower; a table-level combine_chunks
+        # BEFORE this loop would copy the batch's ~100 MB of term bytes a
+        # second time for nothing)
+        def _const(n: int, v: str):
+            # C-speed constant/marker column (no n-element Python list)
+            return pa.nulls(n, type=pa.string()).fill_null(v)
+
+        merged = {"rkind": pa.concat_arrays(
+                      [_const(n_t, "t"), _const(n_f, "f"), _const(n_s, "s")]),
                   "shard": pa.array(
                       np.concatenate([
                           shards_t_np,
@@ -653,14 +667,13 @@ def convert_batches(ds, mode: str = MODE_MINIMAL, encode_iris: bool = False,
                           else np.zeros(0, dtype=np.int64)]),
                       type=pa.int32())}
         for name in _TRIPLE_SCHEMA.names:
-            left = triples_tbl[name].combine_chunks()
+            left = triples_tbl[name]
             if name in meta_tbl.column_names:
                 right = meta_tbl[name].combine_chunks()
             else:
                 right = pa.nulls(n_f, type=pa.string())
-            merged[name] = pa.concat_arrays([left.cast(pa.string()),
-                                             right.cast(pa.string()),
-                                             pa.nulls(n_s, type=pa.string())])
+            merged[name] = pa.concat_arrays(
+                list(left.chunks) + [right, pa.nulls(n_s, type=pa.string())])
         for name in ("metadata_path", "errors", "triples_hash"):
             merged[name] = pa.concat_arrays([
                 pa.nulls(n_t, type=pa.string()),
