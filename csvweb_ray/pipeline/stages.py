@@ -1060,7 +1060,18 @@ def render_ntriples_column(ds, out: str = "nt"):
 
     Vectorized fast path: rows whose terms contain no escapable character
     (the overwhelming majority) are assembled with Arrow string kernels;
-    only the rest go through the exact per-row escaping renderer."""
+    only the rest go through the exact per-row escaping renderer.
+
+    Per-batch homogeneity short-circuits: a branch whose selector never
+    fires in this block (no language tags, no datatypes, no blank nodes,
+    all/no literals — boolean counts, ~1 ms each) skips both its join
+    pass and the blending ``if_else`` copy.  Real blocks are overwhelmingly
+    homogeneous (a sorted merge partition holds runs of one predicate's
+    triples), so this removes 2-4 of the stage's full-column passes
+    (``lit_txt`` alone was 157 ms of a 620 ms/354k-row block)."""
+
+    def _count_true(mask) -> int:
+        return pc.sum(pc.cast(pc.fill_null(mask, False), pa.int64())).as_py() or 0
 
     def _render(batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -1068,46 +1079,72 @@ def render_ntriples_column(ds, out: str = "nt"):
                 for c in ("subj_kind", "subj", "pred", "obj_kind",
                           "obj_value", "obj_datatype", "obj_lang")}
         is_lit = pc.equal(cols["obj_kind"], "l")
+        n_lit = _count_true(is_lit)
         # IRI-positioned text: subj + pred (+ obj when it's an IRI) + dt
+        if n_lit == n:
+            iri_obj = pc.fill_null(cols["obj_datatype"], "")
+        elif n_lit == 0:
+            iri_obj = cols["obj_value"]
+        else:
+            iri_obj = pc.if_else(is_lit, pc.fill_null(cols["obj_datatype"], ""),
+                                 cols["obj_value"])
         iri_joined = pc.binary_join_element_wise(
-            cols["subj"], cols["pred"],
-            pc.if_else(is_lit, pc.fill_null(cols["obj_datatype"], ""),
-                       cols["obj_value"]), "")
-        lit_text = pc.if_else(is_lit, cols["obj_value"],
-                              pa.array([""] * n, type=pa.string()))
-        needs_escape = pc.or_(
-            pc.match_substring_regex(iri_joined, _IRI_SPECIAL),
-            pc.match_substring_regex(lit_text, _LIT_SPECIAL))
+            cols["subj"], cols["pred"], iri_obj, "")
+        needs_escape = pc.match_substring_regex(iri_joined, _IRI_SPECIAL)
+        if n_lit:
+            lit_text = cols["obj_value"] if n_lit == n else pc.if_else(
+                is_lit, cols["obj_value"], pa.nulls(n, pa.string()).fill_null(""))
+            needs_escape = pc.or_(
+                needs_escape, pc.match_substring_regex(lit_text, _LIT_SPECIAL))
 
         # each term text is ONE multi-arg element-wise join (scalars
         # broadcast), not a chain of pairwise joins — halves the kernel
         # passes of this stage (measured ~1.5 s/M rows across ~14 passes)
         is_b = pc.equal(cols["subj_kind"], "b")
-        subj_txt = pc.if_else(
-            is_b,
-            pc.binary_join_element_wise("_:", cols["subj"], ""),
-            pc.binary_join_element_wise("<", cols["subj"], ">", ""))
+        n_b = _count_true(is_b)
+        if n_b == 0:
+            subj_txt = pc.binary_join_element_wise("<", cols["subj"], ">", "")
+        elif n_b == n:
+            subj_txt = pc.binary_join_element_wise("_:", cols["subj"], "")
+        else:
+            subj_txt = pc.if_else(
+                is_b,
+                pc.binary_join_element_wise("_:", cols["subj"], ""),
+                pc.binary_join_element_wise("<", cols["subj"], ">", ""))
         pred_txt = pc.binary_join_element_wise("<", cols["pred"], ">", "")
 
         kind = cols["obj_kind"]
         dt = cols["obj_datatype"]
         lang = cols["obj_lang"]
         ov = cols["obj_value"]
-        lit_txt = pc.if_else(
-            pc.is_valid(lang),
-            pc.binary_join_element_wise(
-                '"', ov, '"@', pc.fill_null(lang, ""), ""),
-            pc.if_else(
-                pc.is_valid(dt),
-                pc.binary_join_element_wise(
-                    '"', ov, '"^^<', pc.fill_null(dt, ""), ">", ""),
-                pc.binary_join_element_wise('"', ov, '"', "")))
-        obj_txt = pc.if_else(
-            pc.equal(kind, "l"), lit_txt,
-            pc.if_else(
-                pc.equal(kind, "b"),
-                pc.binary_join_element_wise("_:", ov, ""),
-                pc.binary_join_element_wise("<", ov, ">", "")))
+        if n_lit:
+            n_lang = _count_true(pc.is_valid(lang))
+            n_dt = _count_true(pc.is_valid(dt))
+            lit_txt = pc.binary_join_element_wise('"', ov, '"', "") \
+                if n_dt == 0 else pc.if_else(
+                    pc.is_valid(dt),
+                    pc.binary_join_element_wise(
+                        '"', ov, '"^^<', pc.fill_null(dt, ""), ">", ""),
+                    pc.binary_join_element_wise('"', ov, '"', ""))
+            if n_lang:
+                lit_txt = pc.if_else(
+                    pc.is_valid(lang),
+                    pc.binary_join_element_wise(
+                        '"', ov, '"@', pc.fill_null(lang, ""), ""),
+                    lit_txt)
+        if n_lit == n:
+            obj_txt = lit_txt
+        else:
+            n_ob = _count_true(pc.equal(kind, "b"))
+            iri_obj_txt = pc.binary_join_element_wise("_:", ov, "") \
+                if n_ob == n - n_lit else (
+                    pc.binary_join_element_wise("<", ov, ">", "")
+                    if n_ob == 0 else pc.if_else(
+                        pc.equal(kind, "b"),
+                        pc.binary_join_element_wise("_:", ov, ""),
+                        pc.binary_join_element_wise("<", ov, ">", "")))
+            obj_txt = iri_obj_txt if n_lit == 0 else pc.if_else(
+                pc.equal(kind, "l"), lit_txt, iri_obj_txt)
         fast = pc.binary_join_element_wise(
             subj_txt, pred_txt, obj_txt, ".", " ")
 

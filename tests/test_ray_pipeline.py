@@ -657,3 +657,51 @@ def test_write_corpus_multifile_roundtrip(tmp_path):
     t2 = pq.ParquetDataset(multi).read()
     assert t1.schema.names == t2.schema.names
     assert t1.equals(t2.select(t1.schema.names).cast(t1.schema))
+
+
+def test_render_homogeneity_shortcircuits(ray_session):
+    """render_ntriples_column's per-batch branch skips (no-lang, no-dt,
+    no-bnode, all/no-literal — see stages.py) must be invisible: every
+    homogeneity mix renders byte-identically to the per-row reference
+    renderer, including rows that need escaping."""
+    import itertools
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from csvweb_ray.pipeline.stages import render_ntriples_column
+    from csvweb_ray.rdf.ntriples import render_triple
+
+    base = "https://ex.org/s"
+    variants = {
+        "iri": ("i", "https://ex.org/o1", None, None),
+        "bnode": ("b", "b0", None, None),
+        "lit": ("l", "plain", None, None),
+        "lit_dt": ("l", "42", "http://www.w3.org/2001/XMLSchema#integer", None),
+        "lit_lang": ("l", "hi", None, "en"),
+        "lit_esc": ("l", 'quote " and\ttab', None, None),
+        "iri_esc": ("i", "https://ex.org/o with space", None, None),
+    }
+    combos = [c for r in (1, 2, 3)
+              for c in itertools.combinations(sorted(variants), r)]
+    for combo in combos:
+        rows = []
+        for j, v in enumerate(combo):
+            ok, ov, dt, lang = variants[v]
+            subj_kind = "b" if v == "bnode" else "i"
+            subj = f"bn{j}" if subj_kind == "b" else f"{base}{j}"
+            rows.append({"subj_kind": subj_kind, "subj": subj,
+                         "pred": f"https://ex.org/p{j}", "obj_kind": ok,
+                         "obj_value": ov, "obj_datatype": dt,
+                         "obj_lang": lang})
+        tbl = pa.table({k: pa.array([r[k] for r in rows], type=pa.string())
+                        for k in rows[0]})
+        got = [b["nt"] for b in
+               render_ntriples_column(rd.from_arrow(tbl)).take_all()]
+        want = []
+        for r in rows:
+            s = (r["subj_kind"], r["subj"])
+            o = (("l", r["obj_value"], r["obj_datatype"], r["obj_lang"])
+                 if r["obj_kind"] == "l" else (r["obj_kind"], r["obj_value"]))
+            want.append(render_triple((s, r["pred"], o)))
+        assert got == want, combo
