@@ -128,8 +128,24 @@ def main() -> None:
     # real N-vs-4N-node cluster (fixed threads per node) would not have.
     # Set before ray.init so workers inherit it.
     os.environ.setdefault("ARROW_IO_THREADS", "2")
+    # Object store at ~50% of RAM (Ray's own recommendation), not the
+    # 30%/capped default: a shuffle whose map outputs approach the store
+    # capacity degrades NON-linearly — every allocation then evicts dead
+    # objects synchronously (plasma frees lazily).  Measured on the 136M
+    # triple merge: working set ~34 GB vs the default 37.6 GB cap gave
+    # 104-125 s merges in a worked session; at 60 GB the same merge holds
+    # 46-57 s across back-to-back runs (see NOTES_r4.md).
+    try:
+        mem_kb = int(next(l for l in open("/proc/meminfo")
+                          if l.startswith("MemTotal")).split()[1])
+        store_bytes = int(mem_kb * 1024 * 0.5)
+    except (OSError, StopIteration, ValueError):
+        store_bytes = None
+    store_bytes = int(os.environ.get("BENCH_OBJ_STORE_BYTES", store_bytes or 0)) \
+        or None
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             object_store_memory=store_bytes)
     from csvweb_ray.raycfg import configure
 
     configure(NUM_CPUS)
