@@ -458,6 +458,16 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
     if n_shard_files and merge_blocks > n_shard_files:
         k = -(-merge_blocks // n_shard_files)  # ceil
         merge_blocks = n_shard_files * k
+    elif n_shard_files:
+        # coalescing side of the same trap: a request that doesn't divide
+        # the file count packs 1-vs-2 files per block (97 blocks on 128
+        # even files gave 516k/1078k-row blocks — a 2× skew through BOTH
+        # the pack stage and the sort's map side; measured 27.7 s vs
+        # 26.4 s for the even 128 on a 68M merge, and parity at 17M).
+        # Snap to a whole number of files per block; flooring k keeps the
+        # snapped count AT OR ABOVE the straggler floor above.
+        k = max(1, n_shard_files // merge_blocks)
+        merge_blocks = -(-n_shard_files // k)  # ceil
     # prune at the read: the merge only consumes triple rows and triple
     # columns — the per-file metrics columns (errors, hashes, counts) and
     # the 'f' rows are skipped at the parquet scan, not post-decode
