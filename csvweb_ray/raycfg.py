@@ -222,6 +222,20 @@ def configure(num_cpus: int | None = None, quiet: bool = True) -> None:
     ctx.min_parallelism = par
     ctx.read_op_min_num_blocks = par
     ctx.default_hash_shuffle_parallelism = par
+    # Ray 2.49's per-operator resource reservation (on by default, ratio
+    # 0.5) guarantees every operator in the DAG a CPU share — but this
+    # repo's pipelines are BARRIER-shaped (map → range-sort → reduce):
+    # only one operator is runnable at a time, so the reservation just
+    # caps the live operator at roughly half the cluster (the 68M merge's
+    # read+pack stage ran 137 CPU-s over 7.5 s wall = 18 of 32 cores;
+    # 6.1 s with reservation off).  Measured end-to-end: headline 13.3 →
+    # 10.4/12.1 s and every per-query wall at-or-better (minhash 2.39 →
+    # 1.82, simhash 2.64 → 1.75, asof 2.78 → 2.01), replicated in both
+    # A/B orders.  Reservation earns its keep on DEEP streaming DAGs
+    # where upstream ops can starve downstream ones of memory; with the
+    # object store sized to 50% RAM and these shallow DAGs it only
+    # donates idle cores.
+    ctx.op_resource_reservation_enabled = False
     _patch_sort_partitioning()
     _patch_sort_boundary_sampling()
     _patch_parquet_sampling()
