@@ -185,6 +185,39 @@ def _input_fingerprint(ds, wellknown: dict[str, str] | None = None) -> dict[int,
     return out
 
 
+def merge_block_count(total_rows: int, ncpu: int, n_shard_files: int) -> int:
+    """Block count for the final-merge read (bounds the sort partitions).
+
+    Three rules, each measured on this workload:
+
+    - **rows target with a straggler floor**: ~700k rows/partition
+      (best of 68/96/128 on a 68M-triple corpus at 32 CPUs; neutral at
+      8) but never fewer than 1.5× CPUs — at exactly 1 task/CPU the
+      reduce tail IS the merge wall (boundary jitter makes 1.7× blocks;
+      9.6 s vs 7.7 s at 48 partitions on 17M triples); capped at 16×
+      CPUs so the sort's P² slice overhead grows with the cluster, not
+      the corpus.
+    - **splitting side**: requesting more blocks than shard files makes
+      Ray split fragments, and an uneven request splits unevenly (194
+      blocks on 128 files → 64.1 s vs 55.1 s for the even 256 on a 136M
+      merge) — snap UP to a whole multiple of the file count.
+    - **coalescing side**: a request that doesn't divide the file count
+      packs 1-vs-2 files per block (97 blocks on 128 even files gave
+      516k/1078k-row blocks — 2× skew through the pack stage AND the
+      sort's map side; 27.7 s vs 26.4 s for the even 128 on a 68M
+      merge) — snap to a whole number of files per block, flooring k so
+      the snapped count stays at or above the straggler floor.
+    """
+    target = max(ncpu + ncpu // 2, min(total_rows // 700_000, 16 * ncpu), 1)
+    if not n_shard_files:
+        return target
+    if target > n_shard_files:
+        k = -(-target // n_shard_files)  # ceil: split every file k ways
+        return n_shard_files * k
+    k = max(1, n_shard_files // target)  # whole files per block
+    return -(-n_shard_files // k)
+
+
 class PipelineReport(dict):
     """Manifest + headline metrics returned by ``run_kg_pipeline``."""
 
@@ -439,35 +472,10 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
     ncpu = int(_ray.cluster_resources().get("CPU", 8)) \
         if _ray.is_initialized() else 8
     total_rows = sum(v.get("triples", 0) for v in manifest["shards"].values())
-    # 1.5× CPUs floor: at exactly 1 task/CPU the reduce tail IS the merge
-    # wall (boundary jitter makes 1.7× blocks; measured 9.6 s vs 7.7 s at
-    # 48 partitions on a 17M-triple corpus) — a half-extra wave lets the
-    # scheduler hide skewed reduce tasks behind finished ones.  ~700k
-    # rows/partition (measured best of 68/96/128 on a 68M corpus at 32
-    # CPUs; neutral at 8), capped at 16× CPUs so the sort's P² slice
-    # overhead grows with the cluster, not the corpus.
-    merge_blocks = max(ncpu + ncpu // 2,
-                       min(total_rows // 700_000, 16 * ncpu), 1)
-    # requesting more blocks than shard FILES makes Ray split fragments,
-    # and an uneven request splits unevenly (194 blocks on 128 files →
-    # 64.1 s vs 55.1 s for the even 256 on a 136M-triple merge): snap to
-    # a whole multiple of the file count so every file splits k ways
     n_shard_files = sum(
         1 for _, _, fs in os.walk(shards_dir)
         for f in fs if f.endswith(".parquet"))
-    if n_shard_files and merge_blocks > n_shard_files:
-        k = -(-merge_blocks // n_shard_files)  # ceil
-        merge_blocks = n_shard_files * k
-    elif n_shard_files:
-        # coalescing side of the same trap: a request that doesn't divide
-        # the file count packs 1-vs-2 files per block (97 blocks on 128
-        # even files gave 516k/1078k-row blocks — a 2× skew through BOTH
-        # the pack stage and the sort's map side; measured 27.7 s vs
-        # 26.4 s for the even 128 on a 68M merge, and parity at 17M).
-        # Snap to a whole number of files per block; flooring k keeps the
-        # snapped count AT OR ABOVE the straggler floor above.
-        k = max(1, n_shard_files // merge_blocks)
-        merge_blocks = -(-n_shard_files // k)  # ceil
+    merge_blocks = merge_block_count(total_rows, ncpu, n_shard_files)
     # prune at the read: the merge only consumes triple rows and triple
     # columns — the per-file metrics columns (errors, hashes, counts) and
     # the 'f' rows are skipped at the parquet scan, not post-decode

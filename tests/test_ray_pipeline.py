@@ -705,3 +705,53 @@ def test_render_homogeneity_shortcircuits(ray_session):
                  if r["obj_kind"] == "l" else (r["obj_kind"], r["obj_value"]))
             want.append(render_triple((s, r["pred"], o)))
         assert got == want, combo
+
+
+def test_merge_block_count_rules():
+    """Pins the three measured sizing rules (rows target + straggler
+    floor, split-side multiple snap, coalesce-side whole-files snap)."""
+    from csvweb_ray.pipeline.runner import merge_block_count
+
+    # no files yet (fresh dir scan race): the rows/floor target alone
+    assert merge_block_count(0, 32, 0) == 48
+    assert merge_block_count(68_020_616, 32, 0) == 97
+    # split side: more blocks than files -> whole multiple of file count
+    assert merge_block_count(136_000_000, 32, 128) == 256  # 194 -> 2x128
+    assert merge_block_count(68_020_616, 32, 64) == 128    # 97 -> 2x64
+    # coalesce side: 97-target on 128 files -> 1 file/block (even 128)
+    assert merge_block_count(68_020_616, 32, 128) == 128
+    # coalesce side: 48-target on 128 files -> 2 files/block (even 64)
+    assert merge_block_count(17_004_616, 32, 128) == 64
+    # exact divisor passes through
+    assert merge_block_count(68_020_616, 32, 97) == 97
+    # 16x-CPU cap holds before snapping
+    assert merge_block_count(10**9, 32, 0) == 512
+
+
+def test_merge_block_count_invariants():
+    """Property: result >= the straggler floor whenever files allow a
+    whole-k grouping at or above it, never triggers an uneven Ray
+    SplitBlocks (result is a whole multiple of the file count when
+    splitting), and whole files per block when coalescing."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from csvweb_ray.pipeline.runner import merge_block_count
+
+    @settings(max_examples=300, derandomize=True, deadline=None)
+    @given(rows=st.integers(0, 10**12), ncpu=st.sampled_from([4, 8, 16, 32, 256]),
+           files=st.integers(0, 5000))
+    def check(rows, ncpu, files):
+        target = max(ncpu + ncpu // 2, min(rows // 700_000, 16 * ncpu), 1)
+        got = merge_block_count(rows, ncpu, files)
+        assert got >= 1
+        if not files:
+            assert got == target
+        elif target > files:
+            assert got % files == 0 and got >= target
+        else:
+            k = max(1, files // target)
+            assert got == -(-files // k)
+            assert got >= target * 2 // 3  # floor can sag at most ~1/3
+
+    check()
