@@ -234,8 +234,11 @@ def configure(num_cpus: int | None = None, quiet: bool = True) -> None:
     # A/B orders.  Reservation earns its keep on DEEP streaming DAGs
     # where upstream ops can starve downstream ones of memory; with the
     # object store sized to 50% RAM and these shallow DAGs it only
-    # donates idle cores.
-    ctx.op_resource_reservation_enabled = False
+    # donates idle cores.  CSVWEB_OP_RESERVATION=1 restores the default.
+    import os as _os
+
+    ctx.op_resource_reservation_enabled = \
+        _os.environ.get("CSVWEB_OP_RESERVATION", "0") == "1"
     _patch_sort_partitioning()
     _patch_sort_boundary_sampling()
     _patch_parquet_sampling()
