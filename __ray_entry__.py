@@ -119,6 +119,52 @@ def _q_kg_docs(sf_dir: str):
     return out_ds.to_pandas().sort_values("pred").reset_index(drop=True)
 
 
+def _q_kg_triples(sf_dir: str):
+    """Flagship CSVW conversion, DuckDB-oracle-checked end to end: the
+    documents table rendered as a CSV+CSVW-metadata corpus (simple typed
+    schema, ``aboutUrl`` template — `table_corpus_rows`), converted through
+    the FULL distributed pipeline (scan → pair → convert → dedup → sort),
+    and the emitted (subj, pred, obj_value, obj_datatype) compared against
+    a pure-SQL reconstruction of the CSVW conversion algorithm's output
+    (URI-template subject minting, `url#name` default property IRIs,
+    canonical xsd:integer lexical forms, string cells as plain literals).
+
+    Documents are sorted by doc_id before corpus rendering so the file
+    sharding (100 rows/file, repo = shard % 4) is reproducible in SQL via
+    row_number() OVER (ORDER BY doc_id)."""
+    _cfg()
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from csvweb_ray.corpus import rows_to_table, table_corpus_rows
+    from csvweb_ray.pipeline.runner import run_kg_pipeline
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet")) \
+        .sort_by("doc_id")
+    out = os.path.join(tempfile.gettempdir(), "csvweb_ray_q_kg_triples")
+    shutil.rmtree(out, ignore_errors=True)
+    report = run_kg_pipeline(
+        rows_to_table(table_corpus_rows(docs, "docs", rows_per_file=100)),
+        out, num_shards=8)
+
+    def _clean(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "subj": pc.cast(b["subj"], pa.string()),
+            "pred": pc.cast(b["pred"], pa.string()),
+            "obj_value": pc.cast(b["obj_value"], pa.string()),
+            "obj_datatype": pc.fill_null(
+                pc.cast(b["obj_datatype"], pa.string()), ""),
+        })
+
+    return (rd.read_parquet(
+                report["final_dir"],
+                columns=["subj", "pred", "obj_value", "obj_datatype"])
+            .map_batches(_clean, batch_format="pyarrow")
+            .sort(["subj", "pred", "obj_value"]))
+
+
 def _q_doc_sha256(sf_dir: str):
     """G2 invariant: per-row content sha256 (DuckDB sha256 oracle)."""
     _cfg()
@@ -456,9 +502,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_count": wrap(Q.q_distinct_count),
         "quantiles": wrap(Q.q_quantiles),
         "sessionize": wrap(Q.q_sessionize),
+        "semi_join": wrap(Q.q_semi_join),
+        "anti_join": wrap(Q.q_anti_join),
+        "range_join": wrap(Q.q_range_join),
+        "rollup": wrap(Q.q_rollup),
+        "pivot_wide": wrap(Q.q_pivot_wide),
         # flagship CSVW KG pipeline
         "kg_golden": _q_kg_golden,
         "kg_docs": _q_kg_docs,
+        "kg_triples": _q_kg_triples,
         # invariants + training-data ops
         "doc_sha256": _q_doc_sha256,
         "exact_dedup": _q_exact_dedup,
@@ -524,6 +576,77 @@ def oracle_sql() -> dict[str, str]:
             FROM events e LEFT JOIN orders o
               ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
             GROUP BY e.event_id ORDER BY e.event_id""",
+        "semi_join": """
+            SELECT o_orderpriority, count(*) AS n_orders,
+                   round(sum(o_totalprice), 4) AS total_price
+            FROM orders
+            WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                 WHERE l_quantity >= 48)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        "anti_join": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT DISTINCT user_id FROM events)
+            GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+        "range_join": """
+            SELECT a.event_id AS a_event_id, b.event_id AS b_event_id,
+                   epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+            ORDER BY a_event_id, b_event_id""",
+        "rollup": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus""",
+        "pivot_wide": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+                   round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END), 4)
+                       AS click_value,
+                   round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 4)
+                       AS purchase_value
+            FROM events GROUP BY user_id ORDER BY user_id""",
+        # pure-SQL reconstruction of the CSVW conversion over the documents
+        # corpus (table_corpus_rows: 100 rows/file, repo = shard % 4,
+        # aboutUrl "docs/{doc_id}", default propertyUrl = tableUrl#name,
+        # minimal mode -> one triple per non-null cell; integers carry the
+        # xsd:integer datatype IRI, strings a plain literal, coalesced to
+        # '' on both sides)
+        "kg_triples": """
+            WITH d AS (
+              SELECT doc_id, text, lang, source, n_chars,
+                     CAST((row_number() OVER (ORDER BY doc_id) - 1) // 100
+                          AS BIGINT) AS shard
+              FROM documents),
+            u AS (
+              SELECT doc_id, shard, 'doc_id' AS col,
+                     CAST(doc_id AS VARCHAR) AS obj_value,
+                     'http://www.w3.org/2001/XMLSchema#integer' AS obj_datatype
+              FROM d
+              UNION ALL
+              SELECT doc_id, shard, 'lang', lang, '' FROM d
+              UNION ALL
+              SELECT doc_id, shard, 'n_chars', CAST(n_chars AS VARCHAR),
+                     'http://www.w3.org/2001/XMLSchema#integer' FROM d
+              UNION ALL
+              SELECT doc_id, shard, 'source', source, '' FROM d
+              UNION ALL
+              SELECT doc_id, shard, 'text', text, '' FROM d)
+            SELECT 'http://corpus.invalid/org0/data' || (shard % 4)
+                       || '/docs/docs/' || doc_id AS subj,
+                   'http://corpus.invalid/org0/data' || (shard % 4)
+                       || '/docs/docs_' || lpad(CAST(shard AS VARCHAR), 4, '0')
+                       || '.csv#' || col AS pred,
+                   obj_value, obj_datatype
+            FROM u ORDER BY subj, pred, obj_value""",
         "doc_sha256": """
             SELECT doc_id, sha256(text) AS content_sha256 FROM documents
             ORDER BY doc_id""",

@@ -406,3 +406,218 @@ def q_sessionize(sf_dir: str, gap_minutes: int = 30, num_buckets: int = 16):
     df = out.to_pandas().sort_values(["user_id", "session_id"])
     df["n_events"] = df["n_events"].astype("int64")
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# semi / anti join via distinct-key broadcast
+
+def q_semi_join(sf_dir: str):
+    """orders SEMI JOIN heavy lineitems (l_quantity ≥ 48): distributed
+    distinct of the filtered probe keys (per-batch unique combiner →
+    ``Dataset.unique``), broadcast ONCE via ``ray.put``, sorted-array
+    ``np.isin`` filter inside ``map_batches``.  The broadcast assumption
+    is the filtered-distinct key set fitting a worker heap (it is the
+    *selective* side by construction); past that, fall back to the
+    bucketed co-group shape of ``q_hash_join``."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    li = T(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def _keys(b: pa.Table) -> pa.Table:
+        m = pc.greater_equal(b["l_quantity"], 48.0)
+        return pa.table({"l_orderkey": pc.unique(b.filter(m)["l_orderkey"])})
+
+    keys = li.map_batches(_keys, batch_format="pyarrow").unique("l_orderkey")
+    key_ref = ray.put(np.sort(np.asarray(keys, dtype=np.int64)))
+
+    od = T(sf_dir, "orders",
+           columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def _semi(b: pa.Table) -> pa.Table:
+        ks = ray.get(key_ref)
+        keep = np.isin(np.asarray(b["o_orderkey"]), ks)
+        return b.filter(pa.array(keep))
+
+    out = (od.map_batches(_semi, batch_format="pyarrow")
+           .groupby("o_orderpriority")
+           .aggregate(Count(alias_name="n_orders"),
+                      Sum("o_totalprice", alias_name="total_price")))
+    df = out.to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
+    df["total_price"] = df["total_price"].round(4)
+    df["n_orders"] = df["n_orders"].astype("int64")
+    return pa.Table.from_pandas(
+        df[["o_orderpriority", "n_orders", "total_price"]],
+        preserve_index=False)
+
+
+def q_anti_join(sf_dir: str):
+    """customer ANTI JOIN events (customers with no recorded activity):
+    same distinct-key broadcast shape as ``q_semi_join`` with the filter
+    inverted — the key set is the distinct *event* users, which is the
+    small side at any scale (bounded by the active-user population)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    ev = T(sf_dir, "events", columns=["user_id"])
+
+    def _keys(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": pc.unique(b["user_id"])})
+
+    keys = ev.map_batches(_keys, batch_format="pyarrow").unique("user_id")
+    key_ref = ray.put(np.sort(np.asarray(keys, dtype=np.int64)))
+
+    cu = T(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def _anti(b: pa.Table) -> pa.Table:
+        ks = ray.get(key_ref)
+        keep = ~np.isin(np.asarray(b["c_custkey"]), ks)
+        return b.filter(pa.array(keep))
+
+    out = (cu.map_batches(_anti, batch_format="pyarrow")
+           .groupby("c_mktsegment").aggregate(Count(alias_name="n_customers")))
+    df = out.to_pandas().sort_values("c_mktsegment").reset_index(drop=True)
+    df["n_customers"] = df["n_customers"].astype("int64")
+    return pa.Table.from_pandas(df[["c_mktsegment", "n_customers"]],
+                                preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# interval (range) join
+
+def q_range_join(sf_dir: str, gap_minutes: int = 5, num_buckets: int = 16):
+    """Interval self-join: ordered event pairs of the same user within
+    ``gap_minutes``.  Users hash into buckets (ONE shuffle, the sessionize
+    partitioning); inside a bucket the pair expansion is fully vectorized:
+    rows sorted by (user, ts) are encoded as a single monotonic int64 key
+    (user × span + ts-offset), window ends found with one ``searchsorted``
+    per bucket, and the (a, b) index pairs materialized with a
+    repeat/cumsum expansion — no per-row or per-user Python.  Partitioning
+    assumption: a user's rows co-locate in one bucket (same as
+    ``q_sessionize``); skewed users bound the per-bucket pair count."""
+    ds = T(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def _bucket(b: pa.Table) -> pa.Table:
+        bucket = pc.cast(pc.bit_wise_and(pc.cast(b["user_id"], pa.int64()),
+                                         pa.scalar(num_buckets - 1)), pa.int32())
+        return b.append_column("bucket", bucket)
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        ts = g.ts.values.astype("datetime64[us]").astype("int64")
+        uid = g.user_id.to_numpy()
+        eid = g.event_id.to_numpy()
+        t0 = ts - ts.min()
+        span = int(t0.max()) + gap_us + 1
+        key = uid * span + t0
+        # strictly-later events of the same user within the gap:
+        # (key_i, key_i + gap] in the sorted key space
+        lo = np.searchsorted(key, key, side="right")
+        hi = np.searchsorted(key, key + gap_us, side="right")
+        n_i = hi - lo
+        total = int(n_i.sum())
+        if total == 0:
+            return pd.DataFrame({"a_event_id": pd.Series([], dtype="int64"),
+                                 "b_event_id": pd.Series([], dtype="int64"),
+                                 "delta_us": pd.Series([], dtype="int64")})
+        a_idx = np.repeat(np.arange(len(key)), n_i)
+        cs = np.concatenate(([0], np.cumsum(n_i)))
+        b_idx = np.arange(total) - np.repeat(cs[:-1], n_i) + np.repeat(lo, n_i)
+        return pd.DataFrame({"a_event_id": eid[a_idx],
+                             "b_event_id": eid[b_idx],
+                             "delta_us": ts[b_idx] - ts[a_idx]})
+
+    out = (ds.map_batches(_bucket, batch_format="pyarrow")
+           .groupby("bucket").map_groups(_pairs, batch_format="pandas"))
+    df = out.to_pandas().sort_values(["a_event_id", "b_event_id"])
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# grouping sets: ROLLUP from one finest-grain aggregate
+
+def q_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): ONE distributed
+    finest-grain aggregate (per-batch partial combiner, same shape as
+    ``q_groupby_agg``); the coarser grouping-set levels are re-aggregated
+    from the tiny finest result on the driver — sums and counts are
+    algebraic, so the rollup adds ZERO extra shuffles at any scale."""
+    from ray.data.aggregate import Sum
+
+    ds = T(sf_dir, "lineitem",
+           columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        g = (df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+             .agg(sum_qty=("l_quantity", "sum"),
+                  n_rows=("l_quantity", "size")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    fin = (ds.map_batches(_partial, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                      Sum("n_rows", alias_name="n_rows"))
+           .to_pandas())
+    lvl1 = (fin.groupby("l_returnflag", as_index=False)
+            .agg(sum_qty=("sum_qty", "sum"), n_rows=("n_rows", "sum")))
+    lvl1["l_linestatus"] = "ALL"
+    lvl0 = pd.DataFrame({"l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+                         "sum_qty": [fin.sum_qty.sum()],
+                         "n_rows": [fin.n_rows.sum()]})
+    out = pd.concat([fin, lvl1, lvl0], ignore_index=True)
+    out["sum_qty"] = out["sum_qty"].round(4)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out = out[["l_returnflag", "l_linestatus", "sum_qty", "n_rows"]]
+    return pa.Table.from_pandas(
+        out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True),
+        preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# pivot (long → wide)
+
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_wide(sf_dir: str):
+    """Pivot event_type long→wide per user: per-batch pandas pivot_table
+    builds the partial conditional counts/sums (combiner), reindexed to the
+    fixed type vocabulary so every partial has an identical schema, then a
+    native grouped Sum — the shuffle moves one row per (user, batch), not
+    one per event."""
+    from ray.data.aggregate import Sum
+
+    ds = T(sf_dir, "events", columns=["user_id", "event_type", "value"])
+    n_cols = [f"n_{t}" for t in PIVOT_TYPES]
+
+    def _partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        p = df.pivot_table(index="user_id", columns="event_type",
+                           values="value", aggfunc=["count", "sum"],
+                           fill_value=0.0)
+        cnt = p["count"].reindex(columns=list(PIVOT_TYPES), fill_value=0)
+        val = p["sum"].reindex(columns=list(PIVOT_TYPES), fill_value=0.0)
+        out = pd.DataFrame({"user_id": p.index.to_numpy()})
+        for t in PIVOT_TYPES:
+            out[f"n_{t}"] = cnt[t].to_numpy().astype("int64")
+        out["click_value"] = val["click"].to_numpy().astype("float64")
+        out["purchase_value"] = val["purchase"].to_numpy().astype("float64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    aggs = [Sum(c, alias_name=c) for c in n_cols]
+    aggs += [Sum("click_value", alias_name="click_value"),
+             Sum("purchase_value", alias_name="purchase_value")]
+    out = (ds.map_batches(_partial, batch_format="pyarrow")
+           .groupby("user_id").aggregate(*aggs))
+    df = out.to_pandas().sort_values("user_id").reset_index(drop=True)
+    for c in n_cols:
+        df[c] = df[c].astype("int64")
+    for c in ("click_value", "purchase_value"):
+        df[c] = df[c].round(4)
+    return pa.Table.from_pandas(
+        df[["user_id", *n_cols, "click_value", "purchase_value"]],
+        preserve_index=False)

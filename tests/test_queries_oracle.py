@@ -1,0 +1,68 @@
+"""Per-commit DuckDB oracle gate for the round-4 query additions.
+
+Mirrors the driver's compare (columns sorted by name, rows sorted by all
+columns, exact values) at sf0.001 — the full set runs via
+``tools/oracle_check.py`` at sf0.01.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata absent")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    yield con
+    con.close()
+
+
+def _canon(df):
+    if hasattr(df, "to_pandas"):
+        df = df.to_pandas()
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+NEW_QUERIES = ["semi_join", "anti_join", "range_join", "rollup",
+               "pivot_wide", "kg_triples"]
+
+
+@pytest.mark.parametrize("name", NEW_QUERIES)
+def test_query_matches_oracle(ray_session, duck, name):
+    import __ray_entry__ as em
+
+    mine = _canon(em.queries()[name](SF_DIR))
+    oracle = _canon(duck.execute(em.oracle_sql()[name]).df())
+    assert list(mine.columns) == list(oracle.columns)
+    assert len(mine) == len(oracle)
+    for c in mine.columns:
+        a, b = mine[c].tolist(), oracle[c].tolist()
+        assert a == b, f"{name}.{c}: first diff at " + str(next(
+            (i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x != y))
+
+
+def test_range_join_nonzero(ray_session, duck):
+    """The interval join must compare real rows at this scale (guard
+    against a vacuous 0-row green)."""
+    import __ray_entry__ as em
+
+    n = len(em.queries()["range_join"](SF_DIR).to_pandas())
+    assert n > 0
