@@ -444,6 +444,50 @@ def _q_ann_topk_lsh(sf_dir: str):
                           ascending=[True, False, True]).reset_index(drop=True)
 
 
+def _queries_matrix(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    emb_file = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+    first = emb_file.slice(0, 4).to_pylist()
+    return np.asarray([r["embedding"]
+                       for r in sorted(first, key=lambda r: r["vec_id"])])
+
+
+def _q_ann_topk_ivf_full(sf_dir: str):
+    """IVF with nprobe == num_centroids: exercises the full index-build +
+    assign + probe machinery yet degenerates to exact brute force, so it
+    shares ``ann_topk``'s DuckDB oracle (same output, value-exact)."""
+    _cfg()
+    from csvweb_ray.ops.similarity import ann_topk_ivf
+    from csvweb_ray.queries import T
+
+    out = ann_topk_ivf(T(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+                       _queries_matrix(sf_dir), k=10,
+                       num_centroids=8, nprobe=8)
+    df = out.to_pandas()[["query_id", "vec_id", "score"]]
+    df["score"] = df["score"].round(3)
+    return df.sort_values(["query_id", "score", "vec_id"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+
+
+def _q_ann_topk_ivf(sf_dir: str):
+    """IVF scale path (nprobe < num_centroids; recall < 1 by design —
+    rows-only check here, recall gated by pytest)."""
+    _cfg()
+    from csvweb_ray.ops.similarity import ann_topk_ivf
+    from csvweb_ray.queries import T
+
+    out = ann_topk_ivf(T(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+                       _queries_matrix(sf_dir), k=10,
+                       num_centroids=8, nprobe=3)
+    df = out.to_pandas()[["query_id", "vec_id", "score"]]
+    df["score"] = df["score"].round(3)
+    return df.sort_values(["query_id", "score", "vec_id"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+
+
 def _q_multimodal_stub(sf_dir: str):
     """Multimodal plumbing driven end-to-end with deterministic fake
     payloads derived from the documents table (rows-only check: decode is
@@ -527,12 +571,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,
+        "ann_topk_ivf_full": _q_ann_topk_ivf_full,
+        "ann_topk_ivf": _q_ann_topk_ivf,
         "multimodal_stub": _q_multimodal_stub,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sqls = {
         "filter_scan": """
             SELECT event_id, user_id, value FROM events
             WHERE event_type = 'click' AND value >= 50.0
@@ -843,3 +889,6 @@ def oracle_sql() -> dict[str, str]:
             FROM scored WHERE rn <= 10
             ORDER BY query_id, score DESC, vec_id""",
     }
+    # IVF with nprobe == num_centroids is exact brute force: same oracle
+    sqls["ann_topk_ivf_full"] = sqls["ann_topk"]
+    return sqls

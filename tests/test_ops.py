@@ -397,3 +397,44 @@ def test_verify_jaccard_broadcast_matches_join_path(ray_session):
     assert len(bcast) == len(joined) == 4       # the 999 pair drops out
     assert (bcast[["a", "b"]].values == joined[["a", "b"]].values).all()
     assert np.allclose(bcast.jaccard, joined.jaccard)
+
+
+def test_ann_ivf_full_probe_matches_bruteforce(ray_session):
+    """nprobe == num_centroids must reproduce the exact top-k (every list
+    is probed, scores are the same float ops)."""
+    from csvweb_ray.ops.similarity import ann_topk, ann_topk_ivf
+
+    rows = _emb_rows(n=60)
+    queries = np.asarray([rows[0]["embedding"], rows[7]["embedding"]])
+    exact = (ann_topk(_docs(ray_session, rows), queries, k=5)
+             .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+    ivf = (ann_topk_ivf(_docs(ray_session, rows), queries, k=5,
+                        num_centroids=6, nprobe=6)
+           .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+    assert exact[["query_id", "vec_id", "rank"]].equals(
+        ivf[["query_id", "vec_id", "rank"]])
+    assert np.allclose(exact.score, ivf.score)
+
+
+def test_ann_ivf_recall_on_clusters(ray_session):
+    """With 4 tight clusters, probing 2 of 4 lists covers the query's own
+    cluster even when k-means splits it — top-k recall stays high."""
+    from csvweb_ray.ops.similarity import ann_topk, ann_topk_ivf
+
+    rows = _emb_rows(n=60)
+    queries = np.asarray([rows[0]["embedding"]])
+    exact = ann_topk(_docs(ray_session, rows), queries, k=5).to_pandas()
+    approx = ann_topk_ivf(_docs(ray_session, rows), queries, k=5,
+                          num_centroids=4, nprobe=2).to_pandas()
+    overlap = set(exact.vec_id) & set(approx.vec_id)
+    assert len(overlap) >= 4
+
+
+def test_ivf_centroids_deterministic_and_unit(ray_session):
+    from csvweb_ray.ops.similarity import train_ivf_centroids
+
+    rows = _emb_rows(n=60)
+    c1 = train_ivf_centroids(_docs(ray_session, rows), num_centroids=4)
+    c2 = train_ivf_centroids(_docs(ray_session, rows), num_centroids=4)
+    assert np.array_equal(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
