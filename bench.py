@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "exact_dedup", "token_count", "quality_score", "minhash_pairs",
     "simhash_pairs", "fingerprint", "ann_topk",
     "ngram_jaccard", "embedding_neardup",
+    # round-4 additions (new keys only — existing keys stay comparable
+    # with BENCH_r01-r03)
+    "semi_join", "range_join", "rollup", "pivot_wide", "ann_topk_ivf",
 ]
 
 
