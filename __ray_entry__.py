@@ -262,6 +262,35 @@ def _q_lang_id(sf_dir: str):
     return out.to_pandas().sort_values("lang_pred").reset_index(drop=True)
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic content-hash stratified sampling (md5 permille —
+    bit-exact DuckDB twin): 20% of English docs, 50% of every other
+    stratum.  Same decision at any parallelism / on any resume."""
+    _cfg()
+    from csvweb_ray.ops.sampling import hash_sample
+    from csvweb_ray.queries import T
+
+    ds = hash_sample(T(sf_dir, "documents", columns=["doc_id", "lang"]),
+                     "doc_id", rate_permille=500, salt="s0",
+                     group_col="lang", group_rates={"en": 200})
+    return ds.select_columns(["doc_id", "lang"]).sort("doc_id")
+
+
+def _q_top_ngrams(sf_dir: str):
+    """Corpus trigram vocabulary top-20 (deterministic lexicographic
+    tie-break; DuckDB unnest/generate_series twin)."""
+    _cfg()
+    from csvweb_ray.ops.text import top_ngrams
+    from csvweb_ray.queries import T
+
+    out = top_ngrams(T(sf_dir, "documents", columns=["doc_id", "text"]),
+                     n=3, k=20)
+    df = out.to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values(["n", "gram"],
+                          ascending=[False, True]).reset_index(drop=True)
+
+
 def _q_fingerprint(sf_dir: str):
     _cfg()
     from csvweb_ray.ops.text import fingerprint
@@ -562,6 +591,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _q_text_stats,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
+        "stratified_sample": _q_stratified_sample,
+        "top_ngrams": _q_top_ngrams,
         "fingerprint": _q_fingerprint,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -808,6 +839,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_digits * 1000 // greatest(n_chars, 1) AS BIGINT)
                        AS digit_permille
             FROM m ORDER BY doc_id""",
+        # hash-sample twin: ('0x' || first-8-hex of md5(salt|key))::BIGINT
+        # % 1000 is bit-exact with Python int(md5(...).hexdigest()[:8], 16)
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(('0x' || substr(md5('s0|' || doc_id), 1, 8)) AS BIGINT)
+                  % 1000 < CASE WHEN lang = 'en' THEN 200 ELSE 500 END
+            ORDER BY doc_id""",
+        "top_ngrams": """
+            WITH toks AS (
+              SELECT regexp_extract_all(lower(coalesce(text, '')),
+                                        '[0-9a-z_]+') AS t
+              FROM documents),
+            grams AS (
+              SELECT unnest(list_transform(
+                         generate_series(1, len(t) - 2),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+              FROM toks WHERE len(t) >= 3)
+            SELECT gram, count(*) AS n FROM grams GROUP BY gram
+            ORDER BY n DESC, gram LIMIT 20""",
         # mirrors ops.text.LangId exactly: ASCII [a-z]+ tokens of the
         # lowercased text, score = stopword_hits/n_words (+0.05 char
         # hint), ties break alphabetically, <= 0.02 or no words -> 'und'.

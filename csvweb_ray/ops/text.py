@@ -27,7 +27,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["token_count", "quality_score", "LangId", "lang_id", "fingerprint"]
+__all__ = ["token_count", "quality_score", "LangId", "lang_id", "fingerprint",
+           "top_ngrams"]
 
 #: BPE-ish word splitter: letter runs, digit runs, single punctuation —
 #: close to the GPT-2 pre-tokenizer's coarse classes, regex-only.
@@ -242,3 +243,47 @@ def fingerprint(ds, col: str = "text", id_col: str = "doc_id", window: int = 8):
         return batch.append_column("fingerprint", pa.array(fps, type=pa.string()))
 
     return ds.map_batches(_fp, batch_format="pyarrow")
+
+
+def top_ngrams(ds, n: int = 3, k: int = 20, col: str = "text"):
+    """Corpus n-gram vocabulary: top-``k`` word n-grams by multiset count.
+
+    Per-batch combiner: tokens come from ONE Arrow
+    ``split_pattern_regex`` pass (same RE2-parity ASCII tokenizer as the
+    Jaccard ops, ``[0-9a-z_]+``), n-grams are built vectorized — the
+    flattened token array joined with itself shifted 1..n-1, masked to
+    windows that stay inside one document (``list_parent_indices``) —
+    and counted with one ``value_counts``.  The shuffle then moves one
+    row per DISTINCT gram per batch (bounded by vocabulary, not corpus),
+    a native grouped Sum totals them, and the top-k is a distributed
+    sort + limit.  Ties at rank k break lexicographically (deterministic
+    and SQL-reproducible)."""
+    from ray.data.aggregate import Sum
+
+    def _partial(b: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(pc.fill_null(b[col], ""))
+        # split on non-token chars; empty strings mark the gaps
+        toks = pc.split_pattern_regex(txt, r"[^0-9a-z_]+")
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        parent = parent[keep]
+        m = len(flat) - (n - 1)
+        if m <= 0:
+            return pa.table({"gram": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        # a window is valid iff its first and last token share a document
+        valid = parent[:m] == parent[n - 1:]
+        # binary_join_element_wise takes the separator LAST
+        parts = [flat.slice(i, m) for i in range(n)] + [" "]
+        grams = pc.binary_join_element_wise(*parts).filter(pa.array(valid))
+        import pandas as pd
+
+        counts = pd.Series(grams.to_pandas()).value_counts()
+        return pa.table({"gram": pa.array(counts.index, type=pa.string()),
+                         "n": pa.array(counts.to_numpy(), type=pa.int64())})
+
+    out = (ds.map_batches(_partial, batch_format="pyarrow")
+           .groupby("gram").aggregate(Sum("n", alias_name="n")))
+    return out.sort(["n", "gram"], descending=[True, False]).limit(k)

@@ -438,3 +438,71 @@ def test_ivf_centroids_deterministic_and_unit(ray_session):
     c2 = train_ivf_centroids(_docs(ray_session, rows), num_centroids=4)
     assert np.array_equal(c1, c2)
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_hash_sample_deterministic_across_parallelism(ray_session):
+    import ray.data as rd
+
+    from csvweb_ray.ops.sampling import hash_sample
+
+    rows = [{"doc_id": i, "lang": "en" if i % 3 else "de"} for i in range(400)]
+    t = pa.Table.from_pylist(rows)
+    a = hash_sample(rd.from_arrow(t), "doc_id", 300).to_pandas()
+    b = hash_sample(rd.from_arrow(t).repartition(7), "doc_id", 300).to_pandas()
+    assert sorted(a.doc_id) == sorted(b.doc_id)
+    # ~30% +- wide tolerance; decision is content-hash, not RNG
+    assert 60 <= len(a) <= 180
+
+
+def test_hash_sample_stratified_and_salts(ray_session):
+    import ray.data as rd
+
+    from csvweb_ray.ops.sampling import hash_sample
+
+    rows = [{"doc_id": i, "lang": "en" if i < 200 else "de"} for i in range(400)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = hash_sample(ds, "doc_id", 500, group_col="lang",
+                      group_rates={"en": 0}).to_pandas()
+    assert (out.lang == "de").all()          # en stratum rate 0
+    s1 = hash_sample(ds, "doc_id", 300, salt="a").to_pandas()
+    s2 = hash_sample(ds, "doc_id", 300, salt="b").to_pandas()
+    assert sorted(s1.doc_id) != sorted(s2.doc_id)   # salt changes the sample
+
+
+def test_hash_sample_fast_hasher(ray_session):
+    import ray.data as rd
+
+    from csvweb_ray.ops.sampling import hash_sample
+
+    rows = [{"doc_id": i} for i in range(1000)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = hash_sample(ds, "doc_id", 250, hasher="fast").to_pandas()
+    assert 150 <= len(out) <= 350
+
+
+def test_top_ngrams_counts(ray_session):
+    import ray.data as rd
+
+    from csvweb_ray.ops.text import top_ngrams
+
+    rows = [
+        {"doc_id": 1, "text": "a b c a b c"},       # 'a b c' x2, 'b c a', 'c a b'
+        {"doc_id": 2, "text": "a b c"},             # 'a b c'
+        {"doc_id": 3, "text": "x y"},               # too short: no trigram
+        {"doc_id": 4, "text": ""},
+        {"doc_id": 5, "text": None},
+    ]
+    out = top_ngrams(rd.from_arrow(pa.Table.from_pylist(rows)), n=3, k=10) \
+        .to_pandas().set_index("gram")["n"].to_dict()
+    assert out == {"a b c": 3, "b c a": 1, "c a b": 1}
+
+
+def test_top_ngrams_no_cross_document_windows(ray_session):
+    import ray.data as rd
+
+    from csvweb_ray.ops.text import top_ngrams
+
+    rows = [{"doc_id": 1, "text": "p q"}, {"doc_id": 2, "text": "r s"}]
+    out = top_ngrams(rd.from_arrow(pa.Table.from_pylist(rows)), n=3, k=10) \
+        .to_pandas()
+    assert len(out) == 0                    # 'q r s' must NOT appear
