@@ -262,6 +262,37 @@ def _q_lang_id(sf_dir: str):
     return out.to_pandas().sort_values("lang_pred").reset_index(drop=True)
 
 
+def _q_approx_quantiles(sf_dir: str):
+    """Histogram-sketch quantiles (the 100-TB substitute for exact
+    per-group materialization; error ≤ range/bins, pytest-gated vs numpy
+    — no SQL oracle because the interpolated estimate is approximate by
+    design)."""
+    _cfg()
+    import pandas as pd
+
+    from csvweb_ray.ops.sketch import approx_quantiles
+    from csvweb_ray.queries import T
+
+    got = approx_quantiles(T(sf_dir, "lineitem", columns=["l_extendedprice"]),
+                           "l_extendedprice", qs=(0.5, 0.95), bins=8192)
+    return pd.DataFrame({"q": sorted(got),
+                         "value": [round(got[q], 4) for q in sorted(got)]})
+
+
+def _q_distinct_count_hll(sf_dir: str):
+    """HyperLogLog distinct users (~1.6% std error at p=12; pytest-gated
+    accuracy — rows-only driver check)."""
+    _cfg()
+    import pandas as pd
+
+    from csvweb_ray.ops.sketch import hll_distinct
+    from csvweb_ray.queries import T
+
+    est = hll_distinct(T(sf_dir, "events", columns=["user_id"]),
+                       "user_id", p=12)
+    return pd.DataFrame({"n_distinct_est": [int(round(est))]})
+
+
 def _q_stratified_sample(sf_dir: str):
     """Deterministic content-hash stratified sampling (md5 permille —
     bit-exact DuckDB twin): 20% of English docs, 50% of every other
@@ -580,6 +611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": wrap(Q.q_range_join),
         "rollup": wrap(Q.q_rollup),
         "pivot_wide": wrap(Q.q_pivot_wide),
+        "window_sliding": wrap(Q.q_window_sliding),
         # flagship CSVW KG pipeline
         "kg_golden": _q_kg_golden,
         "kg_docs": _q_kg_docs,
@@ -593,6 +625,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "stratified_sample": _q_stratified_sample,
         "top_ngrams": _q_top_ngrams,
+        "approx_quantiles": _q_approx_quantiles,
+        "distinct_count_hll": _q_distinct_count_hll,
         "fingerprint": _q_fingerprint,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -672,6 +706,20 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id
              AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
             ORDER BY a_event_id, b_event_id""",
+        "window_sliding": """
+            WITH b AS (
+              SELECT user_id, value,
+                     CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800)
+                          AS TIMESTAMP) AS b30
+              FROM events),
+            w AS (
+              SELECT user_id, value, b30 AS window_start FROM b
+              UNION ALL
+              SELECT user_id, value, b30 - INTERVAL 30 MINUTE FROM b)
+            SELECT user_id, window_start, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM w GROUP BY user_id, window_start
+            ORDER BY user_id, window_start""",
         "rollup": """
             SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
                    coalesce(l_linestatus, 'ALL') AS l_linestatus,

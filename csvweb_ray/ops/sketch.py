@@ -1,0 +1,132 @@
+"""Distributed sketches — the at-scale substitutes for exact wide ops.
+
+``q_quantiles`` (exact) materializes each group's values inside one
+``map_groups`` call; at 100 TB a group does not fit a worker.  These
+sketches keep every pass a bounded-size combiner:
+
+- ``approx_quantiles`` — two linear passes: a native Min/Max aggregate,
+  then fixed-edge histogram partials (one ``np.bincount`` per batch).
+  Deterministic error bound: |q̂ - q| ≤ (max-min)/bins.
+- ``hll_distinct`` — HyperLogLog distinct count (p → m=2^p registers):
+  per-batch register partials from one vectorized 64-bit hash pass,
+  max-merged.  Standard error ≈ 1.04/√m (~1.6% at p=12).
+
+Both reduce through an intermediate ``groupby(shard).map_groups`` level
+so the driver merges at most ``merge_shards`` sketch rows, not one per
+batch (800k batches × 8 KB would otherwise land on the driver at the
+100 TB design point).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["approx_quantiles", "hll_distinct"]
+
+_MERGE_SHARDS = 64
+
+
+def _bit_length(x: np.ndarray) -> np.ndarray:
+    """Vectorized integer bit length for uint64 (binary search, 6 steps)."""
+    out = np.zeros(x.shape, dtype=np.int64)
+    x = x.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        big = x >= (np.uint64(1) << np.uint64(s))
+        out[big] += s
+        x[big] >>= np.uint64(s)
+    out[x > 0] += 1
+    return out
+
+
+def approx_quantiles(ds, col: str, qs=(0.5, 0.95), bins: int = 8192,
+                     merge_shards: int = _MERGE_SHARDS):
+    """Histogram-sketch quantiles of ``col``.
+
+    Returns ``{q: value}`` with linear interpolation inside the owning
+    bin; error ≤ (max-min)/bins by construction (pytest-gated).  Three
+    bounded passes, no full-column materialization anywhere."""
+    from ray.data.aggregate import Max, Min
+
+    mm = ds.aggregate(Min(col, alias_name="lo"), Max(col, alias_name="hi"))
+    lo, hi = float(mm["lo"]), float(mm["hi"])
+    if not np.isfinite(lo) or lo == hi:
+        return {float(q): lo for q in qs}
+    width = (hi - lo) / bins
+
+    def _partial(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[np.isfinite(v)]
+        idx = np.minimum(((v - lo) / width).astype(np.int64), bins - 1)
+        counts = np.bincount(idx, minlength=bins)
+        return pa.table({
+            "shard": pa.array([int(counts.sum()) % merge_shards], pa.int32()),
+            "counts": pa.array([counts.tolist()],
+                               type=pa.list_(pa.int64()))})
+
+    def _merge(g) -> "pa.Table":
+        import pandas as pd  # noqa: F401  (map_groups gives pandas)
+
+        total = np.sum(np.asarray(g["counts"].tolist(), dtype=np.int64),
+                       axis=0)
+        return g.iloc[:1].assign(counts=[total.tolist()])
+
+    parts = (ds.map_batches(_partial, batch_format="pyarrow")
+             .groupby("shard").map_groups(_merge, batch_format="pandas")
+             .to_pandas())
+    counts = np.sum(np.asarray(parts["counts"].tolist(), dtype=np.int64),
+                    axis=0)
+    cdf = np.cumsum(counts)
+    n = cdf[-1]
+    out = {}
+    for q in qs:
+        target = q * (n - 1)
+        b = int(np.searchsorted(cdf, target, side="right"))
+        b = min(b, bins - 1)
+        prev = cdf[b - 1] if b else 0
+        inbin = counts[b] or 1
+        frac = (target - prev) / inbin
+        out[float(q)] = lo + (b + np.clip(frac, 0.0, 1.0)) * width
+    return out
+
+
+def hll_distinct(ds, col: str, p: int = 12,
+                 merge_shards: int = _MERGE_SHARDS) -> float:
+    """HyperLogLog estimate of ``count(DISTINCT col)``.
+
+    One vectorized hash pass per batch (``pandas.util.hash_array``),
+    ``np.maximum.at`` register update, max-merge through the shard level.
+    Standard error ≈ 1.04/√(2^p)."""
+    m = 1 << p
+    wbits = 64 - p
+    wmask = np.uint64((1 << wbits) - 1)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        from pandas.util import hash_array
+
+        vals = b[col].to_numpy(zero_copy_only=False)
+        h = hash_array(vals.astype(object)).astype(np.uint64)
+        idx = (h >> np.uint64(wbits)).astype(np.int64)
+        w = h & wmask
+        rho = np.where(w == 0, wbits + 1, wbits - (_bit_length(w) - 1)) \
+            .astype(np.int64)
+        reg = np.zeros(m, dtype=np.int64)
+        np.maximum.at(reg, idx, rho)
+        return pa.table({
+            "shard": pa.array([len(vals) % merge_shards], pa.int32()),
+            "reg": pa.array([reg.tolist()], type=pa.list_(pa.int64()))})
+
+    def _merge(g):
+        reg = np.max(np.asarray(g["reg"].tolist(), dtype=np.int64), axis=0)
+        return g.iloc[:1].assign(reg=[reg.tolist()])
+
+    parts = (ds.map_batches(_partial, batch_format="pyarrow")
+             .groupby("shard").map_groups(_merge, batch_format="pandas")
+             .to_pandas())
+    reg = np.max(np.asarray(parts["reg"].tolist(), dtype=np.int64), axis=0)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
+    zeros = int(np.count_nonzero(reg == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear-counting small-range correction
+    return float(est)

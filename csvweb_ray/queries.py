@@ -621,3 +621,39 @@ def q_pivot_wide(sf_dir: str):
     return pa.Table.from_pandas(
         df[["user_id", *n_cols, "click_value", "purchase_value"]],
         preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# sliding (hopping) window aggregate
+
+def q_window_sliding(sf_dir: str):
+    """1-hour windows hopping every 30 min (each event lands in exactly
+    two windows): the window replication is a vectorized Arrow
+    ``floor_temporal`` + duration shift inside ``map_batches`` — the
+    dataset doubles BEFORE one grouped aggregate, no per-row Python and
+    no second shuffle.  The streaming analogue of ``q_window_tumbling``
+    for overlapping windows."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = T(sf_dir, "events", columns=["user_id", "ts", "value"])
+    half_hour = pa.scalar(30 * 60 * 1_000_000, type=pa.duration("us"))
+
+    def _expand(b: pa.Table) -> pa.Table:
+        b30 = pc.floor_temporal(b["ts"], multiple=30, unit="minute")
+        one = pa.table({"user_id": b["user_id"], "window_start": b30,
+                        "value": b["value"]})
+        two = pa.table({"user_id": b["user_id"],
+                        "window_start": pc.subtract(b30, half_hour),
+                        "value": b["value"]})
+        return pa.concat_tables([one, two])
+
+    out = (ds.map_batches(_expand, batch_format="pyarrow")
+           .groupby(["user_id", "window_start"])
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("value", alias_name="sum_value")))
+    df = out.to_pandas().sort_values(["user_id", "window_start"])
+    df["n_events"] = df["n_events"].astype("int64")
+    df["sum_value"] = df["sum_value"].round(4)
+    return pa.Table.from_pandas(
+        df[["user_id", "window_start", "n_events", "sum_value"]]
+        .reset_index(drop=True), preserve_index=False)

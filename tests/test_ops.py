@@ -506,3 +506,51 @@ def test_top_ngrams_no_cross_document_windows(ray_session):
     out = top_ngrams(rd.from_arrow(pa.Table.from_pylist(rows)), n=3, k=10) \
         .to_pandas()
     assert len(out) == 0                    # 'q r s' must NOT appear
+
+
+def test_approx_quantiles_error_bound(ray_session):
+    import ray.data as rd
+
+    from csvweb_ray.ops.sketch import approx_quantiles
+
+    rng = np.random.RandomState(11)
+    vals = np.concatenate([rng.lognormal(3, 1, 20000),
+                           rng.uniform(0, 5, 5000)])
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(9)
+    got = approx_quantiles(ds, "v", qs=(0.1, 0.5, 0.95), bins=4096)
+    bound = (vals.max() - vals.min()) / 4096 * 1.001
+    for q, v in got.items():
+        exact = np.quantile(vals, q)
+        assert abs(v - exact) <= bound, (q, v, exact, bound)
+
+
+def test_approx_quantiles_constant_column(ray_session):
+    import ray.data as rd
+
+    from csvweb_ray.ops.sketch import approx_quantiles
+
+    ds = rd.from_arrow(pa.table({"v": [7.0] * 100}))
+    got = approx_quantiles(ds, "v", qs=(0.5,))
+    assert got[0.5] == 7.0
+
+
+def test_hll_distinct_accuracy(ray_session):
+    import ray.data as rd
+
+    from csvweb_ray.ops.sketch import hll_distinct
+
+    n = 50000
+    vals = [f"key-{i % 20000}" for i in range(n)]   # 20k distinct
+    ds = rd.from_arrow(pa.table({"k": vals})).repartition(7)
+    est = hll_distinct(ds, "k", p=12)
+    assert abs(est - 20000) / 20000 < 0.05          # ~3 sigma at p=12
+
+
+def test_hll_distinct_small_range(ray_session):
+    import ray.data as rd
+
+    from csvweb_ray.ops.sketch import hll_distinct
+
+    ds = rd.from_arrow(pa.table({"k": list(range(50)) * 3}))
+    est = hll_distinct(ds, "k", p=12)
+    assert abs(est - 50) < 3                        # linear-counting regime
