@@ -612,6 +612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup": wrap(Q.q_rollup),
         "pivot_wide": wrap(Q.q_pivot_wide),
         "window_sliding": wrap(Q.q_window_sliding),
+        "bloom_join": wrap(Q.q_bloom_join),
         # flagship CSVW KG pipeline
         "kg_golden": _q_kg_golden,
         "kg_docs": _q_kg_docs,
@@ -706,6 +707,12 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id
              AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
             ORDER BY a_event_id, b_event_id""",
+        "bloom_join": """
+            SELECT o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderpriority = '1-URGENT'
+            GROUP BY o_orderpriority ORDER BY o_orderpriority""",
         "window_sliding": """
             WITH b AS (
               SELECT user_id, value,

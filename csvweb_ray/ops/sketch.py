@@ -22,7 +22,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["approx_quantiles", "hll_distinct"]
+__all__ = ["approx_quantiles", "hll_distinct", "BloomFilter", "build_bloom",
+           "bloom_prune"]
 
 _MERGE_SHARDS = 64
 
@@ -130,3 +131,97 @@ def hll_distinct(ds, col: str, p: int = 12,
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)  # linear-counting small-range correction
     return float(est)
+
+
+class BloomFilter:
+    """Fixed-size double-hashing Bloom filter over a packed uint64 word
+    array — picklable, OR-mergeable, vectorized membership tests.
+
+    ``k`` probe positions are derived as ``h1 + i*h2 mod m`` (Kirsch–
+    Mitzenmacher): two vectorized 64-bit hash passes serve any ``k``."""
+
+    def __init__(self, num_bits: int, num_hashes: int):
+        self.m = int(num_bits)
+        self.k = int(num_hashes)
+        self.words = np.zeros((self.m + 63) // 64, dtype=np.uint64)
+
+    @staticmethod
+    def sized(expected_items: int, fpr: float = 0.01) -> "BloomFilter":
+        n = max(1, expected_items)
+        m = int(np.ceil(-n * np.log(fpr) / (np.log(2) ** 2)))
+        k = max(1, int(round(m / n * np.log(2))))
+        return BloomFilter(m, k)
+
+    def _positions(self, vals) -> np.ndarray:
+        from pandas.util import hash_array
+
+        a = np.asarray(vals, dtype=object)
+        h1 = hash_array(a).astype(np.uint64)
+        h2 = hash_array(np.char.add("b|", a.astype(str))).astype(np.uint64) \
+            | np.uint64(1)
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + i * h2[None, :]) % np.uint64(self.m))
+
+    def add(self, vals) -> None:
+        pos = self._positions(vals).ravel()
+        np.bitwise_or.at(self.words, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+
+    def contains(self, vals) -> np.ndarray:
+        pos = self._positions(vals)
+        bits = (self.words[(pos >> np.uint64(6)).astype(np.int64)]
+                >> (pos & np.uint64(63))) & np.uint64(1)
+        return bits.all(axis=0)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert (self.m, self.k) == (other.m, other.k)
+        self.words |= other.words
+        return self
+
+
+def build_bloom(ds, col: str, expected_items: int, fpr: float = 0.01,
+                merge_shards: int = _MERGE_SHARDS) -> BloomFilter:
+    """Distributed Bloom build: per-batch filter partials (the combiner),
+    OR-merged through the shard level, ≤``merge_shards`` word arrays on
+    the driver.  The classic probe-side pruner for large-large joins:
+    broadcast the filter once (``ray.put``) and drop non-matching probe
+    rows BEFORE the shuffle — no false negatives, FPR-bounded extra rows."""
+    proto = BloomFilter.sized(expected_items, fpr)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        bf = BloomFilter(proto.m, proto.k)
+        vals = b[col].to_numpy(zero_copy_only=False)
+        if len(vals):
+            bf.add(vals)
+        return pa.table({
+            "shard": pa.array([len(vals) % merge_shards], pa.int32()),
+            "words": pa.array([bf.words.tolist()],
+                              type=pa.list_(pa.uint64()))})
+
+    def _merge(g):
+        words = np.bitwise_or.reduce(
+            np.asarray(g["words"].tolist(), dtype=np.uint64), axis=0)
+        return g.iloc[:1].assign(words=[words.tolist()])
+
+    parts = (ds.map_batches(_partial, batch_format="pyarrow")
+             .groupby("shard").map_groups(_merge, batch_format="pandas")
+             .to_pandas())
+    out = BloomFilter(proto.m, proto.k)
+    out.words = np.bitwise_or.reduce(
+        np.asarray(parts["words"].tolist(), dtype=np.uint64), axis=0)
+    return out
+
+
+def bloom_prune(ds, col: str, bloom_ref):
+    """Drop rows whose ``col`` is definitely NOT in the broadcast filter
+    (``ray.put(BloomFilter)`` handle).  Zero false negatives."""
+    import ray
+
+    def _keep(b: pa.Table) -> pa.Table:
+        bf = ray.get(bloom_ref)
+        vals = b[col].to_numpy(zero_copy_only=False)
+        if not len(vals):
+            return b
+        return b.filter(pa.array(bf.contains(vals)))
+
+    return ds.map_batches(_keep, batch_format="pyarrow")

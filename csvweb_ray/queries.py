@@ -657,3 +657,67 @@ def q_window_sliding(sf_dir: str):
     return pa.Table.from_pandas(
         df[["user_id", "window_start", "n_events", "sum_value"]]
         .reset_index(drop=True), preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# bloom-pruned hash join (the 100-TB large-large join pattern)
+
+def q_bloom_join(sf_dir: str, num_buckets: int = 16):
+    """lineitem ⋈ urgent orders with a Bloom pre-filter: the build side's
+    keys go into a distributed Bloom filter (per-batch partials,
+    OR-merged, broadcast once), the probe side drops non-matching rows
+    BEFORE the bucketed exchange — the shuffle moves ~selectivity + FPR
+    of the probe table instead of all of it.  The join itself re-checks
+    keys, so false positives cost bandwidth, never correctness (exact
+    DuckDB oracle)."""
+    import ray
+
+    from csvweb_ray.ops.sketch import bloom_prune, build_bloom
+
+    od = T(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    def _urgent(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))
+
+    urgent = od.map_batches(_urgent, batch_format="pyarrow")
+    bf = build_bloom(urgent, "o_orderkey",
+                     expected_items=max(1, urgent.count()), fpr=0.01)
+    bf_ref = ray.put(bf)
+
+    li = T(sf_dir, "lineitem",
+           columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    li = bloom_prune(li, "l_orderkey", bf_ref)
+
+    def _mark(side, key):
+        def fn(b: pa.Table) -> pa.Table:
+            bucket = pc.cast(
+                pc.bit_wise_and(b[key], pa.scalar(num_buckets - 1)), pa.int32())
+            b = b.append_column("bucket", bucket)
+            return b.append_column("side", pa.array([side] * b.num_rows,
+                                                    type=pa.string()))
+        return fn
+
+    both = li.map_batches(_mark("l", "l_orderkey"), batch_format="pyarrow") \
+        .union(urgent.map_batches(_mark("r", "o_orderkey"),
+                                  batch_format="pyarrow"))
+
+    def _join(g: pd.DataFrame) -> pd.DataFrame:
+        lt = g[g["side"] == "l"].reindex(
+            columns=["l_orderkey", "l_extendedprice", "l_discount"])
+        rt = g[g["side"] == "r"].reindex(
+            columns=["o_orderkey", "o_orderpriority"])
+        m = lt.merge(rt, left_on="l_orderkey", right_on="o_orderkey")
+        if m.empty:
+            return pd.DataFrame({"o_orderpriority": [], "revenue": []})
+        m["revenue"] = m.l_extendedprice * (1 - m.l_discount)
+        return (m.groupby("o_orderpriority", as_index=False)
+                .agg(revenue=("revenue", "sum")))
+
+    from ray.data.aggregate import Sum
+
+    out = (both.groupby("bucket").map_groups(_join, batch_format="pandas")
+           .groupby("o_orderpriority")
+           .aggregate(Sum("revenue", alias_name="revenue")))
+    df = out.to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
+    df["revenue"] = df["revenue"].round(4)
+    return pa.Table.from_pandas(df, preserve_index=False)

@@ -554,3 +554,37 @@ def test_hll_distinct_small_range(ray_session):
     ds = rd.from_arrow(pa.table({"k": list(range(50)) * 3}))
     est = hll_distinct(ds, "k", p=12)
     assert abs(est - 50) < 3                        # linear-counting regime
+
+
+def test_bloom_no_false_negatives_and_fpr(ray_session):
+    import ray
+    import ray.data as rd
+
+    from csvweb_ray.ops.sketch import bloom_prune, build_bloom
+
+    keys = [f"k{i}" for i in range(0, 10000, 2)]        # evens present
+    ds = rd.from_arrow(pa.table({"key": keys})).repartition(6)
+    bf = build_bloom(ds, "key", expected_items=5000, fpr=0.01)
+    present = bf.contains(np.asarray(keys, dtype=object))
+    assert present.all()                                # zero false negatives
+    absent = np.asarray([f"k{i}" for i in range(1, 10000, 2)], dtype=object)
+    fpr = bf.contains(absent).mean()
+    assert fpr < 0.03                                   # sized for 1%
+
+    probe = rd.from_arrow(pa.table(
+        {"key": [f"k{i}" for i in range(10000)]})).repartition(4)
+    pruned = bloom_prune(probe, "key", ray.put(bf)).to_pandas()
+    got = set(pruned.key)
+    assert set(keys) <= got                             # all true matches kept
+    assert len(got) <= 5000 * 1.05                      # few false positives
+
+
+def test_bloom_merge_or_semantics():
+    from csvweb_ray.ops.sketch import BloomFilter
+
+    a = BloomFilter.sized(100, 0.01)
+    b = BloomFilter(a.m, a.k)
+    a.add(np.asarray(["x", "y"], dtype=object))
+    b.add(np.asarray(["z"], dtype=object))
+    a.merge(b)
+    assert a.contains(np.asarray(["x", "y", "z"], dtype=object)).all()
