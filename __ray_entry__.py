@@ -279,6 +279,21 @@ def _q_approx_quantiles(sf_dir: str):
                          "value": [round(got[q], 4) for q in sorted(got)]})
 
 
+def _q_quantiles_sketch(sf_dir: str):
+    """Per-group histogram-sketch quantiles — the scale path twin of the
+    exact `quantiles` query (error ≤ group-range/bins, pytest-gated; no
+    SQL oracle because the estimate is approximate by design)."""
+    _cfg()
+    from csvweb_ray.ops.sketch import approx_quantiles_by
+    from csvweb_ray.queries import T
+
+    df = approx_quantiles_by(
+        T(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"]),
+        "l_returnflag", "l_extendedprice", qs=(0.5, 0.95), bins=8192)
+    df["value"] = df["value"].round(4)
+    return df
+
+
 def _q_distinct_count_hll(sf_dir: str):
     """HyperLogLog distinct users (~1.6% std error at p=12; pytest-gated
     accuracy — rows-only driver check)."""
@@ -627,6 +642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "top_ngrams": _q_top_ngrams,
         "approx_quantiles": _q_approx_quantiles,
+        "quantiles_sketch": _q_quantiles_sketch,
         "distinct_count_hll": _q_distinct_count_hll,
         "fingerprint": _q_fingerprint,
         "minhash_pairs": _q_minhash_pairs,

@@ -22,8 +22,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["approx_quantiles", "hll_distinct", "BloomFilter", "build_bloom",
-           "bloom_prune"]
+__all__ = ["approx_quantiles", "approx_quantiles_by", "hll_distinct",
+           "BloomFilter", "build_bloom", "bloom_prune"]
 
 _MERGE_SHARDS = 64
 
@@ -225,3 +225,75 @@ def bloom_prune(ds, col: str, bloom_ref):
         return b.filter(pa.array(bf.contains(vals)))
 
     return ds.map_batches(_keep, batch_format="pyarrow")
+
+
+def approx_quantiles_by(ds, group_col: str, col: str, qs=(0.5, 0.95),
+                        bins: int = 2048, merge_shards: int = _MERGE_SHARDS):
+    """Per-group histogram-sketch quantiles — the scale path for
+    ``q_quantiles``-style per-group percentiles (the exact version
+    materializes each group inside one ``map_groups`` call, which cannot
+    hold a 100-TB group).
+
+    Pass 1: one native grouped Min/Max (tiny result, broadcast as plain
+    captured state).  Pass 2: per-batch histograms for ALL groups at once
+    — group ordinals × bins flattened into a single ``np.bincount``; one
+    partial row per (group, batch), merged per group.  Error per group ≤
+    (group_max-group_min)/bins.  Returns a pandas frame
+    ``(group_col, q, value)``."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max, Min
+
+    mm = (ds.groupby(group_col)
+          .aggregate(Min(col, alias_name="lo"), Max(col, alias_name="hi"))
+          .to_pandas())
+    groups = sorted(mm[group_col].tolist())
+    ordinal = {g: i for i, g in enumerate(groups)}
+    lo = np.full(len(groups), np.nan)
+    hi = np.full(len(groups), np.nan)
+    for _, r in mm.iterrows():
+        lo[ordinal[r[group_col]]] = r["lo"]
+        hi[ordinal[r[group_col]]] = r["hi"]
+    width = np.where(hi > lo, (hi - lo) / bins, 1.0)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        g = np.asarray([ordinal[x] for x in b[group_col].to_pylist()],
+                       dtype=np.int64)
+        v = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = np.isfinite(v)
+        g, v = g[ok], v[ok]
+        bin_ = np.minimum(((v - lo[g]) / width[g]).astype(np.int64), bins - 1)
+        flat = np.bincount(g * bins + bin_, minlength=len(groups) * bins)
+        present = np.unique(g)
+        return pa.table({
+            group_col: pa.array([groups[i] for i in present]),
+            "counts": pa.array(
+                [flat[i * bins:(i + 1) * bins].tolist() for i in present],
+                type=pa.list_(pa.int64()))})
+
+    def _merge(gdf):
+        total = np.sum(np.asarray(gdf["counts"].tolist(), dtype=np.int64),
+                       axis=0)
+        return gdf.iloc[:1].assign(counts=[total.tolist()])
+
+    parts = (ds.map_batches(_partial, batch_format="pyarrow")
+             .groupby(group_col).map_groups(_merge, batch_format="pandas")
+             .to_pandas())
+    rows = []
+    for _, r in parts.iterrows():
+        gi = ordinal[r[group_col]]
+        counts = np.asarray(r["counts"], dtype=np.int64)
+        cdf = np.cumsum(counts)
+        n = cdf[-1]
+        for q in qs:
+            if lo[gi] == hi[gi]:
+                rows.append((r[group_col], float(q), float(lo[gi])))
+                continue
+            target = q * (n - 1)
+            b = min(int(np.searchsorted(cdf, target, side="right")), bins - 1)
+            prev = cdf[b - 1] if b else 0
+            frac = np.clip((target - prev) / (counts[b] or 1), 0.0, 1.0)
+            rows.append((r[group_col], float(q),
+                         float(lo[gi] + (b + frac) * width[gi])))
+    return pd.DataFrame(rows, columns=[group_col, "q", "value"]) \
+        .sort_values([group_col, "q"]).reset_index(drop=True)

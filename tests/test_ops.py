@@ -588,3 +588,26 @@ def test_bloom_merge_or_semantics():
     b.add(np.asarray(["z"], dtype=object))
     a.merge(b)
     assert a.contains(np.asarray(["x", "y", "z"], dtype=object)).all()
+
+
+def test_approx_quantiles_by_group_bounds(ray_session):
+    import ray.data as rd
+
+    from csvweb_ray.ops.sketch import approx_quantiles_by
+
+    rng = np.random.RandomState(5)
+    rows = []
+    data = {}
+    for g, (mu, n) in {"a": (10.0, 8000), "b": (500.0, 4000),
+                       "c": (3.0, 1)}.items():
+        vals = rng.normal(mu, mu / 5, n)
+        data[g] = vals
+        rows += [{"g": g, "v": float(v)} for v in vals]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(6)
+    out = approx_quantiles_by(ds, "g", "v", qs=(0.5, 0.95), bins=2048)
+    for _, r in out.iterrows():
+        vals = data[r["g"]]
+        exact = np.quantile(vals, r["q"])
+        bound = max((vals.max() - vals.min()) / 2048 * 1.001, 1e-12)
+        assert abs(r["value"] - exact) <= bound, (r["g"], r["q"])
+    assert set(out.g) == {"a", "b", "c"}   # singleton group included
