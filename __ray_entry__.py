@@ -628,6 +628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_wide": wrap(Q.q_pivot_wide),
         "window_sliding": wrap(Q.q_window_sliding),
         "bloom_join": wrap(Q.q_bloom_join),
+        "regex_extract": wrap(Q.q_regex_extract),
         # flagship CSVW KG pipeline
         "kg_golden": _q_kg_golden,
         "kg_docs": _q_kg_docs,
@@ -723,6 +724,13 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id
              AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
             ORDER BY a_event_id, b_event_id""",
+        "regex_extract": """
+            SELECT event_type, count(*) AS n_high,
+                   CAST(sum(k) AS BIGINT) AS sum_k
+            FROM (SELECT event_type,
+                         CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
+                  FROM events)
+            WHERE k >= 50 GROUP BY event_type ORDER BY event_type""",
         "bloom_join": """
             SELECT o_orderpriority,
                    round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue

@@ -721,3 +721,31 @@ def q_bloom_join(sf_dir: str, num_buckets: int = 16):
     df = out.to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
     df["revenue"] = df["revenue"].round(4)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# vectorized regex extraction (string-function family)
+
+def q_regex_extract(sf_dir: str):
+    """Extract the numeric payload from the JSON-ish ``props`` column with
+    ONE Arrow ``extract_regex`` kernel pass (no per-row Python, no JSON
+    parser), filter, and aggregate per event type."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = T(sf_dir, "events", columns=["event_type", "props"])
+
+    def _extract(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(pc.fill_null(b["props"], ""), r"(?P<k>[0-9]+)")
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        t = pa.table({"event_type": b["event_type"], "k": k})
+        return t.filter(pc.greater_equal(pc.fill_null(t["k"], -1), 50))
+
+    out = (ds.map_batches(_extract, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Count(alias_name="n_high"),
+                      Sum("k", alias_name="sum_k")))
+    df = out.to_pandas().sort_values("event_type").reset_index(drop=True)
+    df["n_high"] = df["n_high"].astype("int64")
+    df["sum_k"] = df["sum_k"].astype("int64")
+    return pa.Table.from_pandas(df[["event_type", "n_high", "sum_k"]],
+                                preserve_index=False)

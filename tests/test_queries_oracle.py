@@ -43,7 +43,8 @@ def _canon(df):
 
 NEW_QUERIES = ["semi_join", "anti_join", "range_join", "rollup",
                "pivot_wide", "kg_triples", "stratified_sample", "top_ngrams",
-               "ann_topk_ivf_full", "window_sliding", "bloom_join"]
+               "ann_topk_ivf_full", "window_sliding", "bloom_join",
+               "regex_extract"]
 
 
 @pytest.mark.parametrize("name", NEW_QUERIES)
