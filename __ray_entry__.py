@@ -481,18 +481,11 @@ def _q_embedding_neardup_lsh(sf_dir: str):
 def _q_ann_topk(sf_dir: str):
     """Exact cosine top-10 for the first 4 vectors as queries."""
     _cfg()
-    import numpy as np
-    import pyarrow.parquet as pq
-
     from csvweb_ray.ops.similarity import ann_topk
     from csvweb_ray.queries import T
 
-    emb_file = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                             columns=["vec_id", "embedding"])
-    first = emb_file.slice(0, 4).to_pylist()
-    queries = np.asarray([r["embedding"] for r in sorted(first, key=lambda r: r["vec_id"])])
     out = ann_topk(T(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
-                   queries, k=10)
+                   _queries_matrix(sf_dir), k=10)
     df = out.to_pandas()[["query_id", "vec_id", "score"]]
     df["score"] = df["score"].round(3)
     return df.sort_values(["query_id", "score", "vec_id"],
@@ -501,18 +494,11 @@ def _q_ann_topk(sf_dir: str):
 
 def _q_ann_topk_lsh(sf_dir: str):
     _cfg()
-    import numpy as np
-    import pyarrow.parquet as pq
-
     from csvweb_ray.ops.similarity import ann_topk_lsh
     from csvweb_ray.queries import T
 
-    emb_file = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                             columns=["vec_id", "embedding"])
-    first = emb_file.slice(0, 4).to_pylist()
-    queries = np.asarray([r["embedding"] for r in sorted(first, key=lambda r: r["vec_id"])])
     out = ann_topk_lsh(T(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
-                       queries, k=10, num_planes=6)
+                       _queries_matrix(sf_dir), k=10, num_planes=6)
     df = out.to_pandas()[["query_id", "vec_id", "score"]]
     df["score"] = df["score"].round(3)
     return df.sort_values(["query_id", "score", "vec_id"],

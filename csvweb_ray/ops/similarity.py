@@ -60,9 +60,12 @@ def ann_topk(emb_ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id",
             out["query_id"].extend([qi] * len(order))
             out[id_col].extend(ids[order].tolist())
             out["score"].extend(row[order].tolist())
+        # pin the id type: an empty partial would otherwise infer a
+        # null-typed column and emit schema-mismatched blocks
         return pa.Table.from_pydict({
             "query_id": pa.array(out["query_id"], type=pa.int32()),
-            id_col: pa.array(out[id_col]),
+            id_col: pa.array(out[id_col],
+                             type=batch.schema.field(id_col).type),
             "score": pa.array(out["score"], type=pa.float64())})
 
     def _merge(g: pd.DataFrame) -> pd.DataFrame:
@@ -120,9 +123,12 @@ def ann_topk_lsh(emb_ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id
                 out["query_id"].extend([qi] * len(order))
                 out[id_col].extend(sub_ids[order].tolist())
                 out["score"].extend(row[order].tolist())
+        # pin the id type: an empty partial would otherwise infer a
+        # null-typed column and emit schema-mismatched blocks
         return pa.Table.from_pydict({
             "query_id": pa.array(out["query_id"], type=pa.int32()),
-            id_col: pa.array(out[id_col]),
+            id_col: pa.array(out[id_col],
+                             type=batch.schema.field(id_col).type),
             "score": pa.array(out["score"], type=pa.float64())})
 
     def _merge(g: pd.DataFrame) -> pd.DataFrame:
@@ -206,9 +212,12 @@ def ann_topk_ivf(emb_ds, queries: np.ndarray, k: int = 10,
                 out["query_id"].extend([qi] * len(o))
                 out[id_col].extend(sub_ids[o].tolist())
                 out["score"].extend(row[o].tolist())
+        # pin the id type: an empty partial would otherwise infer a
+        # null-typed column and emit schema-mismatched blocks
         return pa.Table.from_pydict({
             "query_id": pa.array(out["query_id"], type=pa.int32()),
-            id_col: pa.array(out[id_col]),
+            id_col: pa.array(out[id_col],
+                             type=batch.schema.field(id_col).type),
             "score": pa.array(out["score"], type=pa.float64())})
 
     def _merge(g: pd.DataFrame) -> pd.DataFrame:

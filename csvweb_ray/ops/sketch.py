@@ -28,6 +28,16 @@ __all__ = ["approx_quantiles", "approx_quantiles_by", "hll_distinct",
 _MERGE_SHARDS = 64
 
 
+def _shard_of(arr: np.ndarray, merge_shards: int) -> int:
+    """Content-derived merge shard for a sketch partial.  Must VARY per
+    batch: a row-count-derived key is constant across Ray's uniform-size
+    batches and would funnel every partial into one map_groups task —
+    the single-task blow-up the shard level exists to avoid."""
+    import zlib
+
+    return zlib.crc32(np.ascontiguousarray(arr).tobytes()) % merge_shards
+
+
 def _bit_length(x: np.ndarray) -> np.ndarray:
     """Vectorized integer bit length for uint64 (binary search, 6 steps)."""
     out = np.zeros(x.shape, dtype=np.int64)
@@ -51,7 +61,7 @@ def approx_quantiles(ds, col: str, qs=(0.5, 0.95), bins: int = 8192,
 
     mm = ds.aggregate(Min(col, alias_name="lo"), Max(col, alias_name="hi"))
     lo, hi = float(mm["lo"]), float(mm["hi"])
-    if not np.isfinite(lo) or lo == hi:
+    if not np.isfinite(lo) or not np.isfinite(hi) or lo == hi:
         return {float(q): lo for q in qs}
     width = (hi - lo) / bins
 
@@ -61,7 +71,7 @@ def approx_quantiles(ds, col: str, qs=(0.5, 0.95), bins: int = 8192,
         idx = np.minimum(((v - lo) / width).astype(np.int64), bins - 1)
         counts = np.bincount(idx, minlength=bins)
         return pa.table({
-            "shard": pa.array([int(counts.sum()) % merge_shards], pa.int32()),
+            "shard": pa.array([_shard_of(counts, merge_shards)], pa.int32()),
             "counts": pa.array([counts.tolist()],
                                type=pa.list_(pa.int64()))})
 
@@ -114,7 +124,7 @@ def hll_distinct(ds, col: str, p: int = 12,
         reg = np.zeros(m, dtype=np.int64)
         np.maximum.at(reg, idx, rho)
         return pa.table({
-            "shard": pa.array([len(vals) % merge_shards], pa.int32()),
+            "shard": pa.array([_shard_of(reg, merge_shards)], pa.int32()),
             "reg": pa.array([reg.tolist()], type=pa.list_(pa.int64()))})
 
     def _merge(g):
@@ -194,7 +204,7 @@ def build_bloom(ds, col: str, expected_items: int, fpr: float = 0.01,
         if len(vals):
             bf.add(vals)
         return pa.table({
-            "shard": pa.array([len(vals) % merge_shards], pa.int32()),
+            "shard": pa.array([_shard_of(bf.words, merge_shards)], pa.int32()),
             "words": pa.array([bf.words.tolist()],
                               type=pa.list_(pa.uint64()))})
 
@@ -254,7 +264,8 @@ def approx_quantiles_by(ds, group_col: str, col: str, qs=(0.5, 0.95),
     for _, r in mm.iterrows():
         lo[ordinal[r[group_col]]] = r["lo"]
         hi[ordinal[r[group_col]]] = r["hi"]
-    width = np.where(hi > lo, (hi - lo) / bins, 1.0)
+    finite = np.isfinite(lo) & np.isfinite(hi)
+    width = np.where(finite & (hi > lo), (hi - lo) / bins, 1.0)
 
     def _partial(b: pa.Table) -> pa.Table:
         g = np.asarray([ordinal[x] for x in b[group_col].to_pylist()],
@@ -262,7 +273,8 @@ def approx_quantiles_by(ds, group_col: str, col: str, qs=(0.5, 0.95),
         v = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
         ok = np.isfinite(v)
         g, v = g[ok], v[ok]
-        bin_ = np.minimum(((v - lo[g]) / width[g]).astype(np.int64), bins - 1)
+        bin_ = np.clip(np.nan_to_num((v - lo[g]) / width[g]),
+                       0, bins - 1).astype(np.int64)
         flat = np.bincount(g * bins + bin_, minlength=len(groups) * bins)
         present = np.unique(g)
         return pa.table({
@@ -286,7 +298,7 @@ def approx_quantiles_by(ds, group_col: str, col: str, qs=(0.5, 0.95),
         cdf = np.cumsum(counts)
         n = cdf[-1]
         for q in qs:
-            if lo[gi] == hi[gi]:
+            if lo[gi] == hi[gi] or not finite[gi]:
                 rows.append((r[group_col], float(q), float(lo[gi])))
                 continue
             target = q * (n - 1)

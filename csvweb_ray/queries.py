@@ -506,7 +506,10 @@ def q_range_join(sf_dir: str, gap_minutes: int = 5, num_buckets: int = 16):
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"])
         ts = g.ts.values.astype("datetime64[us]").astype("int64")
-        uid = g.user_id.to_numpy()
+        # dense per-bucket ordinals, NOT raw ids: raw_id × span overflows
+        # int64 for ids above ~3.5e6 at a 30-day span, silently unsorting
+        # the key and garbage-ing the searchsorted windows
+        uid = pd.factorize(g.user_id.to_numpy())[0].astype("int64")
         eid = g.event_id.to_numpy()
         t0 = ts - ts.min()
         span = int(t0.max()) + gap_us + 1
@@ -596,10 +599,12 @@ def q_pivot_wide(sf_dir: str):
 
     def _partial(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
+        # aggfunc "size" counts ROWS (the oracle's CASE WHEN ... THEN 1);
+        # "count" would skip null values and diverge from SQL
         p = df.pivot_table(index="user_id", columns="event_type",
-                           values="value", aggfunc=["count", "sum"],
+                           values="value", aggfunc=["size", "sum"],
                            fill_value=0.0)
-        cnt = p["count"].reindex(columns=list(PIVOT_TYPES), fill_value=0)
+        cnt = p["size"].reindex(columns=list(PIVOT_TYPES), fill_value=0)
         val = p["sum"].reindex(columns=list(PIVOT_TYPES), fill_value=0.0)
         out = pd.DataFrame({"user_id": p.index.to_numpy()})
         for t in PIVOT_TYPES:
@@ -679,7 +684,10 @@ def q_bloom_join(sf_dir: str, num_buckets: int = 16):
     def _urgent(b: pa.Table) -> pa.Table:
         return b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))
 
-    urgent = od.map_batches(_urgent, batch_format="pyarrow")
+    # materialize the (small) build side once: a lazy Dataset would
+    # re-read and re-filter orders for count(), build_bloom AND the union
+    # — two redundant full scans of the build side at corpus scale
+    urgent = od.map_batches(_urgent, batch_format="pyarrow").materialize()
     bf = build_bloom(urgent, "o_orderkey",
                      expected_items=max(1, urgent.count()), fpr=0.01)
     bf_ref = ray.put(bf)

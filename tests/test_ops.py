@@ -611,3 +611,15 @@ def test_approx_quantiles_by_group_bounds(ray_session):
         bound = max((vals.max() - vals.min()) / 2048 * 1.001, 1e-12)
         assert abs(r["value"] - exact) <= bound, (r["g"], r["q"])
     assert set(out.g) == {"a", "b", "c"}   # singleton group included
+
+
+def test_sketch_shard_key_varies_across_batches():
+    """Uniform batch sizes must NOT funnel every sketch partial into one
+    merge shard (the row-count-derived key did exactly that)."""
+    from csvweb_ray.ops.sketch import _shard_of
+
+    rng = np.random.RandomState(0)
+    shards = {_shard_of(np.bincount(rng.randint(0, 64, 1000),
+                                    minlength=64), 64)
+              for _ in range(20)}
+    assert len(shards) > 4

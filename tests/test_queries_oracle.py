@@ -68,3 +68,39 @@ def test_range_join_nonzero(ray_session, duck):
 
     n = len(em.queries()["range_join"](SF_DIR).to_pandas())
     assert n > 0
+
+
+def test_range_join_huge_user_ids(ray_session, tmp_path):
+    """Snowflake-scale user ids must not overflow the interval-join key
+    encoding (raw_id x span exceeded int64 and silently unsorted the
+    searchsorted key space)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from csvweb_ray.queries import q_range_join
+
+    rng = np.random.RandomState(3)
+    base = 10**18
+    rows = []
+    eid = 0
+    for u in (base + 1, base + 7_000_003, 4_000_000_017):
+        t = pd.Timestamp("2024-01-01")
+        for _ in range(40):
+            t = t + pd.Timedelta(seconds=int(rng.randint(10, 600)))
+            rows.append({"event_id": eid, "user_id": u, "ts": t})
+            eid += 1
+    df = pd.DataFrame(rows)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+
+    got = q_range_join(str(tmp_path)).to_pandas()
+
+    m = df.merge(df, on="user_id", suffixes=("_a", "_b"))
+    m = m[(m.ts_b > m.ts_a)
+          & (m.ts_b <= m.ts_a + pd.Timedelta(minutes=5))]
+    expect = m.sort_values(["event_id_a", "event_id_b"])
+    assert len(got) == len(expect) > 0
+    assert got.a_event_id.tolist() == expect.event_id_a.tolist()
+    assert got.b_event_id.tolist() == expect.event_id_b.tolist()
