@@ -218,6 +218,123 @@ def merge_block_count(total_rows: int, ncpu: int, n_shard_files: int) -> int:
     return -(-n_shard_files // k)
 
 
+def merge_triples_resumable(triples, boundaries: list[str], final_dir: str,
+                            *, sig: str, compression: str = "zstd") -> dict:
+    """Resumable final merge: an explicit range exchange + per-partition
+    finish tasks, each writing its own ``part-NNNNNN.parquet`` atomically.
+
+    The default merge (``dedup_triples`` → ``write_parquet``) is faster —
+    Ray's native range sort with all the boundary-sampling tuning — but
+    all-or-nothing: a merge that dies at 90% restarts from the wave
+    shards.  This variant trades one extra key-pack pass for per-RANGE
+    checkpoints: rows whose range already has a finished part file are
+    dropped at the map side (a searchsorted + isin per batch), so a
+    re-run only sorts, dedups, renders and writes the missing ranges.
+    Output files are named by zero-padded part id — reading them in
+    name order yields the same global (subj, pred, obj) order as the
+    default path.  Exactness: a range's rows all land in its one part
+    (the id is a pure function of the escaped key), and the per-part
+    ``first_per_identity`` sees every copy — same invariant as
+    ``dedup_triples``.
+
+    ``sig`` fingerprints the inputs (boundaries + wave set + row count);
+    partial state from a different input is discarded, never merged."""
+    import json as _json
+    import re as _re
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .stages import (
+        _IDENT_EXTRA,
+        _KEY_COLS,
+        _LINEAGE_COLS,
+        TRIPLE_COLUMNS,
+        _join_cols,
+        first_per_identity,
+        render_ntriples_table,
+    )
+
+    tmp = final_dir + ".resume"
+    # manifest lives BESIDE the part dir: the dir gets promoted to
+    # final_dir wholesale and read_parquet must only see parquet files
+    manifest_path = tmp + ".manifest.json"
+    manifest = {}
+    if os.path.exists(manifest_path):
+        try:
+            with open(manifest_path) as f:
+                manifest = _json.load(f)
+        except (OSError, ValueError):
+            manifest = {}
+    if manifest.get("sig") != sig:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if os.path.exists(manifest_path):
+            os.remove(manifest_path)
+        manifest = {"sig": sig, "parts": {}}
+    os.makedirs(tmp, exist_ok=True)
+    done = sorted(
+        int(m.group(1)) for f in os.listdir(tmp)
+        if (m := _re.match(r"part-(\d+)\.parquet$", f)))
+    bounds = np.asarray(boundaries, dtype=object)
+    done_arr = np.asarray(done, dtype=np.int64)
+
+    def _canon(col):
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if pa.types.is_null(col.type):
+            return pa.nulls(len(col), type=pa.string())
+        return col.cast(pa.string())
+
+    def _pack(b: pa.Table) -> pa.Table:
+        keys = _join_cols(b, _KEY_COLS).to_numpy(zero_copy_only=False)
+        part = np.searchsorted(bounds, keys, side="right").astype(np.int64)
+        out = {"part": pa.array(part)}
+        for c in TRIPLE_COLUMNS:
+            out[c] = _canon(b[c])
+        t = pa.table(out)
+        if len(done_arr):
+            t = t.filter(pa.array(~np.isin(part, done_arr)))
+        return t
+
+    def _finish(t: pa.Table) -> pa.Table:
+        import hashlib as _hashlib
+
+        pid = t["part"][0].as_py()
+        t = t.drop_columns(["part"])
+        t = first_per_identity(t, _KEY_COLS + _IDENT_EXTRA + _LINEAGE_COLS,
+                               _KEY_COLS + _IDENT_EXTRA)
+        t = render_ntriples_table(t)
+        digest = _hashlib.sha256(
+            "\n".join(t["nt"].to_pylist()).encode()).hexdigest()
+        inprog = os.path.join(tmp, f".part-{pid:06d}.inprogress")
+        pq.write_table(t, inprog, compression=compression)
+        os.replace(inprog, os.path.join(tmp, f"part-{pid:06d}.parquet"))
+        return pa.table({"part": pa.array([pid], type=pa.int64()),
+                         "rows": pa.array([len(t)], type=pa.int64()),
+                         "sha": pa.array([digest], type=pa.string())})
+
+    metrics = (triples.map_batches(_pack, batch_format="pyarrow")
+               .groupby("part")
+               .map_groups(_finish, batch_format="pyarrow")
+               .to_pandas())
+    parts = dict(manifest.get("parts", {}))
+    for _, r in metrics.iterrows():
+        parts[str(int(r["part"]))] = {"rows": int(r["rows"]),
+                                      "sha": r["sha"]}
+    manifest = {"sig": sig, "parts": parts}
+    with open(manifest_path + ".tmp", "w") as f:
+        _json.dump(manifest, f, indent=1)
+    os.replace(manifest_path + ".tmp", manifest_path)
+
+    # finalize: promote the completed resume dir to final_dir
+    if os.path.isdir(final_dir):
+        shutil.rmtree(final_dir)
+    os.replace(tmp, final_dir)
+    return {"parts_done_total": len(parts), "parts_skipped": len(done),
+            "parts_processed": len(metrics)}
+
+
 class PipelineReport(dict):
     """Manifest + headline metrics returned by ``run_kg_pipeline``."""
 
@@ -227,6 +344,7 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
                     pairing_salt: int = 1, resume: bool = True,
                     with_linking: bool = False, rebalance: bool = True,
                     encode_iris: bool = False,
+                    resume_merge: bool = False,
                     link_max_entries: int = 1_000_000) -> PipelineReport:
     """Run the flagship corpus→triples pipeline with checkpoint/resume.
 
@@ -517,20 +635,32 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
             dict_ref = ray.put(dictionary)
             triples = links_as_triples(link_triples(triples, dict_ref))
 
-    # dedup_triples fuses G6 dedup with the G7 (subj, pred, obj) sort:
-    # one exchange serves both
-    triples = canonicalize_triple_schema(
-        dedup_triples(triples, boundaries=merge_boundaries))
-    triples = render_ntriples_column(triples)
+    if resume_merge:
+        # resumable variant: explicit range exchange + atomic per-range
+        # part files — a killed merge re-runs only the missing ranges
+        # (trade: one extra key-pack pass vs Ray's tuned native sort)
+        import hashlib as _hashlib
 
-    if os.path.isdir(final_dir):
-        shutil.rmtree(final_dir)
-    tmp_final = final_dir + ".tmp"
-    if os.path.isdir(tmp_final):
-        shutil.rmtree(tmp_final)
-    triples.write_parquet(tmp_final, compression="zstd")
-    os.makedirs(tmp_final, exist_ok=True)  # zero-triple corpus: write creates nothing
-    os.replace(tmp_final, final_dir)
+        sig = _hashlib.sha256("\x1f".join(
+            merge_boundaries + [str(total_rows)]
+            + sorted(manifest["waves"])).encode()).hexdigest()
+        report["merge_resume"] = merge_triples_resumable(
+            triples, merge_boundaries, final_dir, sig=sig)
+    else:
+        # dedup_triples fuses G6 dedup with the G7 (subj, pred, obj)
+        # sort: one exchange serves both
+        triples = canonicalize_triple_schema(
+            dedup_triples(triples, boundaries=merge_boundaries))
+        triples = render_ntriples_column(triples)
+
+        if os.path.isdir(final_dir):
+            shutil.rmtree(final_dir)
+        tmp_final = final_dir + ".tmp"
+        if os.path.isdir(tmp_final):
+            shutil.rmtree(tmp_final)
+        triples.write_parquet(tmp_final, compression="zstd")
+        os.makedirs(tmp_final, exist_ok=True)  # zero-triple corpus: write creates nothing
+        os.replace(tmp_final, final_dir)
 
     _mark("final_merge")
     report["phase_secs"] = {k: round(v, 2) for k, v in phases.items()}

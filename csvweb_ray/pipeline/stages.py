@@ -877,6 +877,33 @@ def sample_term_boundaries(shards_dir: str, num_parts: int,
     return bounds
 
 
+def first_per_identity(t: pa.Table, sort_cols, ident_cols) -> pa.Table:
+    """Deterministic winner per triple identity: min lineage under the
+    column-tuple order, nulls last — all C-speed Arrow kernels (a
+    pandas object sort here costs seconds per 500k-row block).
+
+    Fused gather: ``sort_indices`` + a masked ``take`` instead of
+    materializing the fully-sorted table and then filtering it — the
+    non-identity columns are gathered exactly once, for the surviving
+    rows only (the reduce stage is memory-bandwidth-bound at full
+    concurrency; ~14% off the whole pass measured, byte-identical
+    output)."""
+    idx = pc.sort_indices(t, sort_keys=[(c, "ascending")
+                                        for c in sort_cols])
+    n = len(idx)
+    keep = None
+    for c in ident_cols:
+        col = pc.take(t[c].combine_chunks(), idx)
+        a, b = col.slice(0, n - 1), col.slice(1, n)
+        both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+        neq = pc.if_else(both_null, pa.scalar(False),
+                         pc.fill_null(pc.not_equal(a, b), True))
+        keep = neq if keep is None else pc.or_(keep, neq)
+    mask = pa.concat_arrays([pa.array([True]), keep.combine_chunks()
+                             if isinstance(keep, pa.ChunkedArray) else keep])
+    return t.take(pc.filter(idx, mask))
+
+
 def dedup_triples(ds, boundaries: list[str] | None = None):
     """G6 + G7 in one exchange: RDF set semantics (dotNetRDF ``Graph``
     deduplicates on insert) fused with the global output sort.
@@ -920,32 +947,6 @@ def dedup_triples(ds, boundaries: list[str] | None = None):
         if pa.types.is_null(col.type):
             col = pa.nulls(len(col), type=pa.string())
         return col.cast(pa.string())
-
-    def _first_per_identity(t: pa.Table, sort_cols, ident_cols) -> pa.Table:
-        """Deterministic winner per triple identity: min lineage under the
-        column-tuple order, nulls last — all C-speed Arrow kernels (a
-        pandas object sort here costs seconds per 500k-row block).
-
-        Fused gather: ``sort_indices`` + a masked ``take`` instead of
-        materializing the fully-sorted table and then filtering it — the
-        non-identity columns are gathered exactly once, for the surviving
-        rows only (the reduce stage is memory-bandwidth-bound at full
-        concurrency; ~14% off the whole pass measured, byte-identical
-        output)."""
-        idx = pc.sort_indices(t, sort_keys=[(c, "ascending")
-                                            for c in sort_cols])
-        n = len(idx)
-        keep = None
-        for c in ident_cols:
-            col = pc.take(t[c].combine_chunks(), idx)
-            a, b = col.slice(0, n - 1), col.slice(1, n)
-            both_null = pc.and_(pc.is_null(a), pc.is_null(b))
-            neq = pc.if_else(both_null, pa.scalar(False),
-                             pc.fill_null(pc.not_equal(a, b), True))
-            keep = neq if keep is None else pc.or_(keep, neq)
-        mask = pa.concat_arrays([pa.array([True]), keep.combine_chunks()
-                                 if isinstance(keep, pa.ChunkedArray) else keep])
-        return t.take(pc.filter(idx, mask))
 
     def _pack(batch: pa.Table) -> pa.Table:
         # pure Arrow kernels, no pandas round-trip.  No local combiner:
@@ -1005,11 +1006,11 @@ def dedup_triples(ds, boundaries: list[str] | None = None):
             cols["subj"] = pc.binary_join_element_wise(
                 _canon_str(batch["subj_pfx"]), cols["subj"], "")
             t = pa.table(cols)
-            t = _first_per_identity(t, _KEY_COLS + _IDENT_EXTRA + _LINEAGE_COLS,
-                                    _KEY_COLS + _IDENT_EXTRA)
+            t = first_per_identity(t, _KEY_COLS + _IDENT_EXTRA + _LINEAGE_COLS,
+                                   _KEY_COLS + _IDENT_EXTRA)
             return t.select(TRIPLE_COLUMNS)
         t = pa.table({c: _canon_str(batch[c]) for c in batch.column_names})
-        t = _first_per_identity(t, _SORT_COLS, ["term_key"] + _IDENT_EXTRA)
+        t = first_per_identity(t, _SORT_COLS, ["term_key"] + _IDENT_EXTRA)
         terms = pc.split_pattern(t["term_key"].combine_chunks(), _FIELD_SEP)
         out = {}
         for i, c in enumerate(_KEY_COLS):
@@ -1054,6 +1055,114 @@ _IRI_SPECIAL = r'[\x00-\x20"\\<>{}|^`]'
 _LIT_SPECIAL = r'["\\\x00-\x1f]'
 
 
+def _count_true(mask) -> int:
+    return pc.sum(pc.cast(pc.fill_null(mask, False), pa.int64())).as_py() or 0
+
+
+def render_ntriples_table(batch: pa.Table, out: str = "nt") -> pa.Table:
+    """Table-level N-Triples renderer (see render_ntriples_column) —
+    shared by the streaming render stage and the resumable merge's
+    per-partition tasks."""
+    n = len(batch)
+    cols = {c: batch[c].combine_chunks().cast(pa.string())
+            for c in ("subj_kind", "subj", "pred", "obj_kind",
+                      "obj_value", "obj_datatype", "obj_lang")}
+    is_lit = pc.equal(cols["obj_kind"], "l")
+    n_lit = _count_true(is_lit)
+    # IRI-positioned text: subj + pred (+ obj when it's an IRI) + dt
+    if n_lit == n:
+        iri_obj = pc.fill_null(cols["obj_datatype"], "")
+    elif n_lit == 0:
+        iri_obj = cols["obj_value"]
+    else:
+        iri_obj = pc.if_else(is_lit, pc.fill_null(cols["obj_datatype"], ""),
+                             cols["obj_value"])
+    iri_joined = pc.binary_join_element_wise(
+        cols["subj"], cols["pred"], iri_obj, "")
+    needs_escape = pc.match_substring_regex(iri_joined, _IRI_SPECIAL)
+    if n_lit:
+        lit_text = cols["obj_value"] if n_lit == n else pc.if_else(
+            is_lit, cols["obj_value"], pa.nulls(n, pa.string()).fill_null(""))
+        needs_escape = pc.or_(
+            needs_escape, pc.match_substring_regex(lit_text, _LIT_SPECIAL))
+
+    # each term text is ONE multi-arg element-wise join (scalars
+    # broadcast), not a chain of pairwise joins — halves the kernel
+    # passes of this stage (measured ~1.5 s/M rows across ~14 passes)
+    is_b = pc.equal(cols["subj_kind"], "b")
+    n_b = _count_true(is_b)
+    if n_b == 0:
+        subj_txt = pc.binary_join_element_wise("<", cols["subj"], ">", "")
+    elif n_b == n:
+        subj_txt = pc.binary_join_element_wise("_:", cols["subj"], "")
+    else:
+        subj_txt = pc.if_else(
+            is_b,
+            pc.binary_join_element_wise("_:", cols["subj"], ""),
+            pc.binary_join_element_wise("<", cols["subj"], ">", ""))
+    pred_txt = pc.binary_join_element_wise("<", cols["pred"], ">", "")
+
+    kind = cols["obj_kind"]
+    dt = cols["obj_datatype"]
+    lang = cols["obj_lang"]
+    ov = cols["obj_value"]
+    if n_lit:
+        n_lang = _count_true(pc.is_valid(lang))
+        n_dt = _count_true(pc.is_valid(dt))
+        lit_txt = pc.binary_join_element_wise('"', ov, '"', "") \
+            if n_dt == 0 else pc.if_else(
+                pc.is_valid(dt),
+                pc.binary_join_element_wise(
+                    '"', ov, '"^^<', pc.fill_null(dt, ""), ">", ""),
+                pc.binary_join_element_wise('"', ov, '"', ""))
+        if n_lang:
+            lit_txt = pc.if_else(
+                pc.is_valid(lang),
+                pc.binary_join_element_wise(
+                    '"', ov, '"@', pc.fill_null(lang, ""), ""),
+                lit_txt)
+    if n_lit == n:
+        obj_txt = lit_txt
+    else:
+        n_ob = _count_true(pc.equal(kind, "b"))
+        iri_obj_txt = pc.binary_join_element_wise("_:", ov, "") \
+            if n_ob == n - n_lit else (
+                pc.binary_join_element_wise("<", ov, ">", "")
+                if n_ob == 0 else pc.if_else(
+                    pc.equal(kind, "b"),
+                    pc.binary_join_element_wise("_:", ov, ""),
+                    pc.binary_join_element_wise("<", ov, ">", "")))
+        obj_txt = iri_obj_txt if n_lit == 0 else pc.if_else(
+            pc.equal(kind, "l"), lit_txt, iri_obj_txt)
+    fast = pc.binary_join_element_wise(
+        subj_txt, pred_txt, obj_txt, ".", " ")
+
+    # per-row escaping for ONLY the masked rows (gather → render →
+    # scatter): the old formulation materialized all 8 columns to
+    # Python lists the moment a single row needed escaping, which on
+    # an escape-bearing web corpus is every batch
+    needs_escape = pc.fill_null(needs_escape, False)
+    if pc.any(needs_escape).as_py():
+        idx = pc.indices_nonzero(needs_escape)
+        sub = {c: pc.take(cols[c], idx).to_pylist()
+               for c in ("subj_kind", "subj", "pred", "obj_kind",
+                         "obj_value", "obj_datatype", "obj_lang")}
+        slow = []
+        for i in range(len(idx)):
+            o = (("l", sub["obj_value"][i], sub["obj_datatype"][i],
+                  sub["obj_lang"][i]) if sub["obj_kind"][i] == "l"
+                 else (sub["obj_kind"][i], sub["obj_value"][i]))
+            slow.append(render_triple(
+                ((sub["subj_kind"][i], sub["subj"][i]),
+                 sub["pred"][i], o)))
+        lines = pc.replace_with_mask(
+            fast, needs_escape, pa.array(slow, type=pa.string()))
+    else:
+        lines = fast
+    return batch.append_column(out, lines)
+
+
+
 def render_ntriples_column(ds, out: str = "nt"):
     """Final projection: one N-Triples line per triple row (sink analogue
     of ``IRdfHandler`` → writer, S6).
@@ -1069,110 +1178,8 @@ def render_ntriples_column(ds, out: str = "nt"):
     homogeneous (a sorted merge partition holds runs of one predicate's
     triples), so this removes 2-4 of the stage's full-column passes
     (``lit_txt`` alone was 157 ms of a 620 ms/354k-row block)."""
-
-    def _count_true(mask) -> int:
-        return pc.sum(pc.cast(pc.fill_null(mask, False), pa.int64())).as_py() or 0
-
-    def _render(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        cols = {c: batch[c].combine_chunks().cast(pa.string())
-                for c in ("subj_kind", "subj", "pred", "obj_kind",
-                          "obj_value", "obj_datatype", "obj_lang")}
-        is_lit = pc.equal(cols["obj_kind"], "l")
-        n_lit = _count_true(is_lit)
-        # IRI-positioned text: subj + pred (+ obj when it's an IRI) + dt
-        if n_lit == n:
-            iri_obj = pc.fill_null(cols["obj_datatype"], "")
-        elif n_lit == 0:
-            iri_obj = cols["obj_value"]
-        else:
-            iri_obj = pc.if_else(is_lit, pc.fill_null(cols["obj_datatype"], ""),
-                                 cols["obj_value"])
-        iri_joined = pc.binary_join_element_wise(
-            cols["subj"], cols["pred"], iri_obj, "")
-        needs_escape = pc.match_substring_regex(iri_joined, _IRI_SPECIAL)
-        if n_lit:
-            lit_text = cols["obj_value"] if n_lit == n else pc.if_else(
-                is_lit, cols["obj_value"], pa.nulls(n, pa.string()).fill_null(""))
-            needs_escape = pc.or_(
-                needs_escape, pc.match_substring_regex(lit_text, _LIT_SPECIAL))
-
-        # each term text is ONE multi-arg element-wise join (scalars
-        # broadcast), not a chain of pairwise joins — halves the kernel
-        # passes of this stage (measured ~1.5 s/M rows across ~14 passes)
-        is_b = pc.equal(cols["subj_kind"], "b")
-        n_b = _count_true(is_b)
-        if n_b == 0:
-            subj_txt = pc.binary_join_element_wise("<", cols["subj"], ">", "")
-        elif n_b == n:
-            subj_txt = pc.binary_join_element_wise("_:", cols["subj"], "")
-        else:
-            subj_txt = pc.if_else(
-                is_b,
-                pc.binary_join_element_wise("_:", cols["subj"], ""),
-                pc.binary_join_element_wise("<", cols["subj"], ">", ""))
-        pred_txt = pc.binary_join_element_wise("<", cols["pred"], ">", "")
-
-        kind = cols["obj_kind"]
-        dt = cols["obj_datatype"]
-        lang = cols["obj_lang"]
-        ov = cols["obj_value"]
-        if n_lit:
-            n_lang = _count_true(pc.is_valid(lang))
-            n_dt = _count_true(pc.is_valid(dt))
-            lit_txt = pc.binary_join_element_wise('"', ov, '"', "") \
-                if n_dt == 0 else pc.if_else(
-                    pc.is_valid(dt),
-                    pc.binary_join_element_wise(
-                        '"', ov, '"^^<', pc.fill_null(dt, ""), ">", ""),
-                    pc.binary_join_element_wise('"', ov, '"', ""))
-            if n_lang:
-                lit_txt = pc.if_else(
-                    pc.is_valid(lang),
-                    pc.binary_join_element_wise(
-                        '"', ov, '"@', pc.fill_null(lang, ""), ""),
-                    lit_txt)
-        if n_lit == n:
-            obj_txt = lit_txt
-        else:
-            n_ob = _count_true(pc.equal(kind, "b"))
-            iri_obj_txt = pc.binary_join_element_wise("_:", ov, "") \
-                if n_ob == n - n_lit else (
-                    pc.binary_join_element_wise("<", ov, ">", "")
-                    if n_ob == 0 else pc.if_else(
-                        pc.equal(kind, "b"),
-                        pc.binary_join_element_wise("_:", ov, ""),
-                        pc.binary_join_element_wise("<", ov, ">", "")))
-            obj_txt = iri_obj_txt if n_lit == 0 else pc.if_else(
-                pc.equal(kind, "l"), lit_txt, iri_obj_txt)
-        fast = pc.binary_join_element_wise(
-            subj_txt, pred_txt, obj_txt, ".", " ")
-
-        # per-row escaping for ONLY the masked rows (gather → render →
-        # scatter): the old formulation materialized all 8 columns to
-        # Python lists the moment a single row needed escaping, which on
-        # an escape-bearing web corpus is every batch
-        needs_escape = pc.fill_null(needs_escape, False)
-        if pc.any(needs_escape).as_py():
-            idx = pc.indices_nonzero(needs_escape)
-            sub = {c: pc.take(cols[c], idx).to_pylist()
-                   for c in ("subj_kind", "subj", "pred", "obj_kind",
-                             "obj_value", "obj_datatype", "obj_lang")}
-            slow = []
-            for i in range(len(idx)):
-                o = (("l", sub["obj_value"][i], sub["obj_datatype"][i],
-                      sub["obj_lang"][i]) if sub["obj_kind"][i] == "l"
-                     else (sub["obj_kind"][i], sub["obj_value"][i]))
-                slow.append(render_triple(
-                    ((sub["subj_kind"][i], sub["subj"][i]),
-                     sub["pred"][i], o)))
-            lines = pc.replace_with_mask(
-                fast, needs_escape, pa.array(slow, type=pa.string()))
-        else:
-            lines = fast
-        return batch.append_column(out, lines)
-
-    return ds.map_batches(_render, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda b: render_ntriples_table(b, out=out), batch_format="pyarrow")
 
 
 def triples_to_terms(rows: list[dict]) -> list:

@@ -755,3 +755,77 @@ def test_merge_block_count_invariants():
             assert got >= target * 2 // 3  # floor can sag at most ~1/3
 
     check()
+
+
+def _final_nt(final_dir):
+    import ray.data as rd
+
+    return sorted(rd.read_parquet(final_dir).to_pandas().nt)
+
+
+def test_resume_merge_matches_default(ray_session, tmp_path, fixtures_dir, golden_run):
+    """The resumable range-partitioned merge must emit the exact same
+    triple set (and global order) as the default fused sort path."""
+    from csvweb_ray.pipeline.runner import run_kg_pipeline
+
+    rows = fixture_corpus_rows(fixtures_dir)
+    out = str(tmp_path / "rm")
+    report = run_kg_pipeline(rows_to_table(rows), out, num_shards=4,
+                             resume_merge=True)
+    assert report["merge_resume"]["parts_skipped"] == 0
+    assert _final_nt(report["final_dir"]) == _final_nt(golden_run[1]["final_dir"])
+
+
+def test_resume_merge_skips_done_parts(ray_session, tmp_path, fixtures_dir):
+    """Simulated mid-merge kill: finished part files survive, the re-run
+    processes ONLY the missing ranges, output is identical."""
+    from csvweb_ray.pipeline.runner import run_kg_pipeline
+
+    rows = fixture_corpus_rows(fixtures_dir)
+    out = str(tmp_path / "rk")
+    r1 = run_kg_pipeline(rows_to_table(rows), out, num_shards=4,
+                         resume_merge=True)
+    full = _final_nt(r1["final_dir"])
+    n1 = r1["merge_resume"]["parts_processed"]
+    assert n1 > 1
+
+    # reconstruct the mid-merge state: final -> .resume with half the parts
+    final = r1["final_dir"]
+    resume_dir = final + ".resume"
+    os.rename(final, resume_dir)
+    parts = sorted(f for f in os.listdir(resume_dir) if f.endswith(".parquet"))
+    kept = parts[: len(parts) // 2]
+    for f in parts[len(parts) // 2:]:
+        os.remove(os.path.join(resume_dir, f))
+
+    r2 = run_kg_pipeline(rows_to_table(rows), out, num_shards=4,
+                         resume_merge=True)
+    assert r2["merge_resume"]["parts_skipped"] == len(kept)
+    assert r2["merge_resume"]["parts_processed"] == n1 - len(kept)
+    assert _final_nt(r2["final_dir"]) == full
+
+
+def test_resume_merge_stale_sig_resets(ray_session, tmp_path, fixtures_dir):
+    """Partial state from a DIFFERENT input (sig mismatch) must be
+    discarded, never merged into the new output."""
+    from csvweb_ray.pipeline.runner import run_kg_pipeline
+
+    rows = fixture_corpus_rows(fixtures_dir)
+    out = str(tmp_path / "rs")
+    r1 = run_kg_pipeline(rows_to_table(rows), out, num_shards=4,
+                         resume_merge=True)
+    full = _final_nt(r1["final_dir"])
+
+    # fake stale state: resume dir with a bogus part + mismatched sig
+    resume_dir = r1["final_dir"] + ".resume"
+    os.makedirs(resume_dir)
+    os.rename(os.path.join(r1["final_dir"],
+                           sorted(os.listdir(r1["final_dir"]))[0]),
+              os.path.join(resume_dir, "part-000000.parquet"))
+    with open(resume_dir + ".manifest.json", "w") as f:
+        json.dump({"sig": "stale", "parts": {"0": {"rows": 1, "sha": "x"}}}, f)
+
+    r2 = run_kg_pipeline(rows_to_table(rows), out, num_shards=4,
+                         resume_merge=True)
+    assert r2["merge_resume"]["parts_skipped"] == 0
+    assert _final_nt(r2["final_dir"]) == full
