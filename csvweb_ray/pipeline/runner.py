@@ -219,7 +219,8 @@ def merge_block_count(total_rows: int, ncpu: int, n_shard_files: int) -> int:
 
 
 def merge_triples_resumable(triples, boundaries: list[str], final_dir: str,
-                            *, sig: str, compression: str = "zstd") -> dict:
+                            *, sig: str, compression: str = "zstd",
+                            crash_after_parts: int | None = None) -> dict:
     """Resumable final merge: an explicit range exchange + per-partition
     finish tasks, each writing its own ``part-NNNNNN.parquet`` atomically.
 
@@ -274,6 +275,12 @@ def merge_triples_resumable(triples, boundaries: list[str], final_dir: str,
             os.remove(manifest_path)
         manifest = {"sig": sig, "parts": {}}
     os.makedirs(tmp, exist_ok=True)
+    # commit the sig BEFORE any processing: a crash mid-merge must leave
+    # (sig manifest + atomic part files) or the next run cannot tell the
+    # survivors from stale state and wipes them
+    with open(manifest_path + ".tmp", "w") as f:
+        _json.dump(manifest, f, indent=1)
+    os.replace(manifest_path + ".tmp", manifest_path)
     done = sorted(
         int(m.group(1)) for f in os.listdir(tmp)
         if (m := _re.match(r"part-(\d+)\.parquet$", f)))
@@ -310,6 +317,14 @@ def merge_triples_resumable(triples, boundaries: list[str], final_dir: str,
         inprog = os.path.join(tmp, f".part-{pid:06d}.inprogress")
         pq.write_table(t, inprog, compression=compression)
         os.replace(inprog, os.path.join(tmp, f"part-{pid:06d}.parquet"))
+        if crash_after_parts is not None:
+            # fault injection (tests): die mid-merge through the REAL
+            # task path once enough part files exist
+            n_done = sum(1 for f in os.listdir(tmp)
+                         if f.endswith(".parquet"))
+            if n_done >= crash_after_parts:
+                raise RuntimeError(
+                    f"injected merge crash after {n_done} parts")
         return pa.table({"part": pa.array([pid], type=pa.int64()),
                          "rows": pa.array([len(t)], type=pa.int64()),
                          "sha": pa.array([digest], type=pa.string())})
@@ -345,6 +360,7 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
                     with_linking: bool = False, rebalance: bool = True,
                     encode_iris: bool = False,
                     resume_merge: bool = False,
+                    _merge_crash_after_parts: int | None = None,
                     link_max_entries: int = 1_000_000) -> PipelineReport:
     """Run the flagship corpus→triples pipeline with checkpoint/resume.
 
@@ -645,7 +661,8 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
             merge_boundaries + [str(total_rows)]
             + sorted(manifest["waves"])).encode()).hexdigest()
         report["merge_resume"] = merge_triples_resumable(
-            triples, merge_boundaries, final_dir, sig=sig)
+            triples, merge_boundaries, final_dir, sig=sig,
+            crash_after_parts=_merge_crash_after_parts)
     else:
         # dedup_triples fuses G6 dedup with the G7 (subj, pred, obj)
         # sort: one exchange serves both

@@ -829,3 +829,28 @@ def test_resume_merge_stale_sig_resets(ray_session, tmp_path, fixtures_dir):
                          resume_merge=True)
     assert r2["merge_resume"]["parts_skipped"] == 0
     assert _final_nt(r2["final_dir"]) == full
+
+
+def test_resume_merge_survives_injected_crash(ray_session, tmp_path, fixtures_dir):
+    """A merge killed MID-RUN (fault injection inside the real finish
+    tasks) leaves atomic part files; the re-run skips them and the final
+    output matches an uninterrupted run."""
+    from csvweb_ray.pipeline.runner import run_kg_pipeline
+
+    rows = fixture_corpus_rows(fixtures_dir)
+    ref = run_kg_pipeline(rows_to_table(rows), str(tmp_path / "ref"),
+                          num_shards=4, resume_merge=True)
+    full = _final_nt(ref["final_dir"])
+
+    out = str(tmp_path / "crash")
+    with pytest.raises(Exception):
+        run_kg_pipeline(rows_to_table(rows), out, num_shards=4,
+                        resume_merge=True, _merge_crash_after_parts=2)
+    resume_dir = os.path.join(out, "final.resume")
+    survived = [f for f in os.listdir(resume_dir) if f.endswith(".parquet")]
+    assert len(survived) >= 2
+
+    r2 = run_kg_pipeline(rows_to_table(rows), out, num_shards=4,
+                         resume_merge=True)
+    assert r2["merge_resume"]["parts_skipped"] == len(survived)
+    assert _final_nt(r2["final_dir"]) == full
