@@ -39,7 +39,8 @@ def cmd_run(args) -> int:
     report = run_kg_pipeline(
         args.corpus, args.out, mode=args.mode, num_shards=args.shards,
         shards_per_wave=args.wave, pairing_salt=args.salt,
-        resume=not args.no_resume, with_linking=args.link)
+        resume=not args.no_resume, with_linking=args.link,
+        resume_merge=args.resume_merge)
     print(json.dumps({k: v for k, v in report.items() if k != "shards"},
                      default=str))
     import ray
@@ -73,6 +74,10 @@ def main(argv=None) -> int:
                      help="pairing salt buckets for hot directories")
     run.add_argument("--link", action="store_true", help="run entity linking")
     run.add_argument("--no-resume", action="store_true")
+    run.add_argument("--resume-merge", action="store_true",
+                     help="range-checkpointed final merge (re-runs only "
+                          "missing ranges after a mid-merge failure; "
+                          "~1.26x the fused-sort merge wall)")
     run.add_argument("--num-cpus", type=int, default=None)
     run.set_defaults(fn=cmd_run)
 
