@@ -287,8 +287,15 @@ def merge_triples_resumable(triples, boundaries: list[str], final_dir: str,
     bounds = np.asarray(boundaries, dtype=object)
     done_arr = np.asarray(done, dtype=np.int64)
 
+    # same dictionary-encoding set as the default merge path: the
+    # exchange is bandwidth-bound, bytes are the lever
+    _dict_cols = {"subj_kind", "pred", "obj_kind", "obj_datatype",
+                  "obj_lang", "repo", "path", "commit", "content_sha256"}
+
     def _canon(col):
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if pa.types.is_dictionary(col.type):
+            col = col.cast(col.type.value_type)
         if pa.types.is_null(col.type):
             return pa.nulls(len(col), type=pa.string())
         return col.cast(pa.string())
@@ -298,7 +305,8 @@ def merge_triples_resumable(triples, boundaries: list[str], final_dir: str,
         part = np.searchsorted(bounds, keys, side="right").astype(np.int64)
         out = {"part": pa.array(part)}
         for c in TRIPLE_COLUMNS:
-            out[c] = _canon(b[c])
+            col = _canon(b[c])
+            out[c] = pc.dictionary_encode(col) if c in _dict_cols else col
         t = pa.table(out)
         if len(done_arr):
             t = t.filter(pa.array(~np.isin(part, done_arr)))
@@ -308,12 +316,19 @@ def merge_triples_resumable(triples, boundaries: list[str], final_dir: str,
         import hashlib as _hashlib
 
         pid = t["part"][0].as_py()
-        t = t.drop_columns(["part"])
+        t = pa.table({c: _canon(t[c]) for c in TRIPLE_COLUMNS})
         t = first_per_identity(t, _KEY_COLS + _IDENT_EXTRA + _LINEAGE_COLS,
                                _KEY_COLS + _IDENT_EXTRA)
         t = render_ntriples_table(t)
-        digest = _hashlib.sha256(
-            "\n".join(t["nt"].to_pylist()).encode()).hexdigest()
+        # exact content+order digest over the Arrow buffers (C-speed) —
+        # a Python to_pylist/join here materializes the whole corpus as
+        # Python strings across the part tasks (measured dominant)
+        nt = t["nt"].combine_chunks()
+        h = _hashlib.sha256()
+        for buf in nt.buffers():
+            if buf is not None:
+                h.update(buf)
+        digest = h.hexdigest()
         inprog = os.path.join(tmp, f".part-{pid:06d}.inprogress")
         pq.write_table(t, inprog, compression=compression)
         os.replace(inprog, os.path.join(tmp, f"part-{pid:06d}.parquet"))
