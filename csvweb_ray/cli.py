@@ -74,10 +74,14 @@ def main(argv=None) -> int:
                      help="pairing salt buckets for hot directories")
     run.add_argument("--link", action="store_true", help="run entity linking")
     run.add_argument("--no-resume", action="store_true")
-    run.add_argument("--resume-merge", action="store_true",
-                     help="range-checkpointed final merge (re-runs only "
-                          "missing ranges after a mid-merge failure; "
-                          "~1.26x the fused-sort merge wall)")
+    run.add_argument("--resume-merge", dest="resume_merge",
+                     action="store_true", default=True,
+                     help="range-checkpointed final merge — the DEFAULT "
+                          "(re-runs only missing ranges after a mid-merge "
+                          "failure; at cost-parity with the fused sort)")
+    run.add_argument("--no-resume-merge", dest="resume_merge",
+                     action="store_false",
+                     help="all-or-nothing fused-sort final merge")
     run.add_argument("--num-cpus", type=int, default=None)
     run.set_defaults(fn=cmd_run)
 

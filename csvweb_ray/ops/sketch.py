@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = ["approx_quantiles", "approx_quantiles_by", "hll_distinct",
            "BloomFilter", "build_bloom", "bloom_prune"]
@@ -115,7 +116,14 @@ def hll_distinct(ds, col: str, p: int = 12,
     def _partial(b: pa.Table) -> pa.Table:
         from pandas.util import hash_array
 
-        vals = b[col].to_numpy(zero_copy_only=False)
+        # SQL count(DISTINCT col) drops NULLs; hashing them as a regular
+        # value would silently inflate the estimate vs the oracle convention
+        vals = pc.drop_null(b[col]).to_numpy(zero_copy_only=False)
+        reg = np.zeros(m, dtype=np.int64)
+        if len(vals) == 0:
+            return pa.table({
+                "shard": pa.array([_shard_of(reg, merge_shards)], pa.int32()),
+                "reg": pa.array([reg.tolist()], type=pa.list_(pa.int64()))})
         h = hash_array(vals.astype(object)).astype(np.uint64)
         idx = (h >> np.uint64(wbits)).astype(np.int64)
         w = h & wmask

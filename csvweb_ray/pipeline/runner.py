@@ -259,9 +259,11 @@ def merge_triples_resumable(triples, boundaries: list[str], final_dir: str,
     )
 
     tmp = final_dir + ".resume"
-    # manifest lives BESIDE the part dir: the dir gets promoted to
-    # final_dir wholesale and read_parquet must only see parquet files
+    # manifest + per-part metric sidecars live BESIDE the part dir: the
+    # dir gets promoted to final_dir wholesale and read_parquet must only
+    # see parquet files (no json, no crash leftovers)
     manifest_path = tmp + ".manifest.json"
+    meta_dir = tmp + ".meta"
     manifest = {}
     if os.path.exists(manifest_path):
         try:
@@ -271,16 +273,24 @@ def merge_triples_resumable(triples, boundaries: list[str], final_dir: str,
             manifest = {}
     if manifest.get("sig") != sig:
         shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(meta_dir, ignore_errors=True)
         if os.path.exists(manifest_path):
             os.remove(manifest_path)
         manifest = {"sig": sig, "parts": {}}
     os.makedirs(tmp, exist_ok=True)
+    os.makedirs(meta_dir, exist_ok=True)
     # commit the sig BEFORE any processing: a crash mid-merge must leave
     # (sig manifest + atomic part files) or the next run cannot tell the
     # survivors from stale state and wipes them
     with open(manifest_path + ".tmp", "w") as f:
         _json.dump(manifest, f, indent=1)
     os.replace(manifest_path + ".tmp", manifest_path)
+    # a _finish task killed between write and os.replace leaves a stale
+    # .part-NNNNNN.inprogress; its range is NOT in `done`, so it will be
+    # reprocessed — drop the debris now or the final promote publishes it
+    for f in os.listdir(tmp):
+        if f.endswith(".inprogress"):
+            os.remove(os.path.join(tmp, f))
     done = sorted(
         int(m.group(1)) for f in os.listdir(tmp)
         if (m := _re.match(r"part-(\d+)\.parquet$", f)))
@@ -332,6 +342,14 @@ def merge_triples_resumable(triples, boundaries: list[str], final_dir: str,
         inprog = os.path.join(tmp, f".part-{pid:06d}.inprogress")
         pq.write_table(t, inprog, compression=compression)
         os.replace(inprog, os.path.join(tmp, f"part-{pid:06d}.parquet"))
+        # persist the part's metrics BESIDE the part (atomic, in the
+        # non-promoted meta dir): a later crash-resume rebuilds the
+        # manifest from these sidecars, so surviving parts keep their
+        # rows/sha instead of vanishing from parts_done_total
+        meta_tmp = os.path.join(meta_dir, f".part-{pid:06d}.json.tmp")
+        with open(meta_tmp, "w") as mf:
+            _json.dump({"rows": len(t), "sha": digest}, mf)
+        os.replace(meta_tmp, os.path.join(meta_dir, f"part-{pid:06d}.json"))
         if crash_after_parts is not None:
             # fault injection (tests): die mid-merge through the REAL
             # task path once enough part files exist
@@ -349,6 +367,16 @@ def merge_triples_resumable(triples, boundaries: list[str], final_dir: str,
                .map_groups(_finish, batch_format="pyarrow")
                .to_pandas())
     parts = dict(manifest.get("parts", {}))
+    # fold crash survivors back in: their entries were lost when the sig
+    # manifest was committed pre-processing, but each part wrote a metric
+    # sidecar — rebuild from those (sidecar wins over a stale entry)
+    for f in os.listdir(meta_dir):
+        if (m := _re.match(r"part-(\d+)\.json$", f)):
+            try:
+                with open(os.path.join(meta_dir, f)) as mf:
+                    parts[str(int(m.group(1)))] = _json.load(mf)
+            except (OSError, ValueError):
+                pass
     for _, r in metrics.iterrows():
         parts[str(int(r["part"]))] = {"rows": int(r["rows"]),
                                       "sha": r["sha"]}
@@ -361,6 +389,7 @@ def merge_triples_resumable(triples, boundaries: list[str], final_dir: str,
     if os.path.isdir(final_dir):
         shutil.rmtree(final_dir)
     os.replace(tmp, final_dir)
+    shutil.rmtree(meta_dir, ignore_errors=True)
     return {"parts_done_total": len(parts), "parts_skipped": len(done),
             "parts_processed": len(metrics)}
 
@@ -374,7 +403,7 @@ def run_kg_pipeline(source, out_dir: str, *, mode: str = "minimal",
                     pairing_salt: int = 1, resume: bool = True,
                     with_linking: bool = False, rebalance: bool = True,
                     encode_iris: bool = False,
-                    resume_merge: bool = False,
+                    resume_merge: bool = True,
                     _merge_crash_after_parts: int | None = None,
                     link_max_entries: int = 1_000_000) -> PipelineReport:
     """Run the flagship corpus→triples pipeline with checkpoint/resume.

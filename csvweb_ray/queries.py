@@ -513,6 +513,17 @@ def q_range_join(sf_dir: str, gap_minutes: int = 5, num_buckets: int = 16):
         eid = g.event_id.to_numpy()
         t0 = ts - ts.min()
         span = int(t0.max()) + gap_us + 1
+        # factorize fixes huge id VALUES but not huge per-bucket user
+        # COUNTS: uid.max() * span silently wraps int64 (numpy does not
+        # raise) above ~3.5M distinct users over a ~30-day span, unsorting
+        # the searchsorted key space.  Fail loudly instead of corrupting;
+        # the remedy at that scale is more buckets (num_buckets knob).
+        if int(uid.max()) >= (2**63 - 1) // span:
+            raise OverflowError(
+                f"range-join bucket holds {int(uid.max()) + 1} distinct "
+                f"users over a {span} us span — int64 key would overflow; "
+                f"raise num_buckets (currently hashing user_id & "
+                f"{num_buckets - 1})")
         key = uid * span + t0
         # strictly-later events of the same user within the gap:
         # (key_i, key_i + gap] in the sorted key space
@@ -598,6 +609,14 @@ def q_pivot_wide(sf_dir: str):
     n_cols = [f"n_{t}" for t in PIVOT_TYPES]
 
     def _partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            # pivot_table on an empty frame drops the "size"/"sum" column
+            # level entirely (KeyError); Ray Data can emit empty blocks
+            return pa.table(
+                {"user_id": pa.array([], b.schema.field("user_id").type),
+                 **{f"n_{t}": pa.array([], pa.int64()) for t in PIVOT_TYPES},
+                 "click_value": pa.array([], pa.float64()),
+                 "purchase_value": pa.array([], pa.float64())})
         df = b.to_pandas()
         # aggfunc "size" counts ROWS (the oracle's CASE WHEN ... THEN 1);
         # "count" would skip null values and diverge from SQL

@@ -56,6 +56,16 @@ def test_query_matches_oracle(ray_session, duck, name):
     assert list(mine.columns) == list(oracle.columns)
     assert len(mine) == len(oracle)
     for c in mine.columns:
+        # dtype-KIND parity, not just value parity: the driver's value-hash
+        # coalesces integer widths (int32 5 ≡ int64 5) but NOT int vs float
+        # (int64 5 vs HUGEINT→float64 5.0 hash differently — the pivot_wide
+        # red of round 4, which this gate passed because 5 == 5.0).  Same
+        # numeric family ⇒ the driver hash cannot diverge on equal values.
+        kind = lambda d: "i" if d.kind in "iu" else d.kind  # noqa: E731
+        assert kind(mine[c].dtype) == kind(oracle[c].dtype), (
+            f"{name}.{c}: engine dtype {mine[c].dtype} vs oracle dtype "
+            f"{oracle[c].dtype} — values may compare equal but the driver "
+            f"value-hash will diverge")
         a, b = mine[c].tolist(), oracle[c].tolist()
         assert a == b, f"{name}.{c}: first diff at " + str(next(
             (i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x != y))

@@ -764,15 +764,17 @@ def _final_nt(final_dir):
 
 
 def test_resume_merge_matches_default(ray_session, tmp_path, fixtures_dir, golden_run):
-    """The resumable range-partitioned merge must emit the exact same
-    triple set (and global order) as the default fused sort path."""
+    """The resumable range-partitioned merge (the default since round 5)
+    must emit the exact same triple set (and global order) as the fused
+    sort path — here the FUSED leg is the explicit one."""
     from csvweb_ray.pipeline.runner import run_kg_pipeline
 
     rows = fixture_corpus_rows(fixtures_dir)
     out = str(tmp_path / "rm")
     report = run_kg_pipeline(rows_to_table(rows), out, num_shards=4,
-                             resume_merge=True)
-    assert report["merge_resume"]["parts_skipped"] == 0
+                             resume_merge=False)
+    assert "merge_resume" not in report
+    assert golden_run[1]["merge_resume"]["parts_skipped"] == 0
     assert _final_nt(report["final_dir"]) == _final_nt(golden_run[1]["final_dir"])
 
 
