@@ -60,6 +60,29 @@ def _hash64(data: bytes) -> int:
     return struct.unpack("<Q", hashlib.blake2b(data, digest_size=8).digest())[0]
 
 
+def _hash_str_array(strings, family: str = "fast") -> np.ndarray:
+    """64-bit hashes of a token/gram string sequence.
+
+    ``fast`` (default): ONE vectorized ``pandas.util.hash_array`` call
+    (SipHash in C, fixed key — deterministic across processes/workers;
+    the same hasher the sampling/sketch fast paths use).  The per-gram
+    Python ``hashlib`` loop this replaces was the signature stages' CPU
+    floor at corpus-scale token counts.  ``blake2b``: the audited
+    per-gram path, kept for bit-compatibility with externally pinned
+    signatures.  Both are uniform 64-bit families — LSH banding, SimHash
+    and winnowing semantics are family-agnostic."""
+    n = len(strings)
+    if family == "fast":
+        if not n:
+            return np.empty(0, dtype=np.uint64)
+        from pandas.util import hash_array
+
+        return hash_array(np.asarray(strings, dtype=object),
+                          categorize=False).astype(np.uint64)
+    return np.fromiter((_hash64(s.encode()) for s in strings),
+                       dtype=np.uint64, count=n)
+
+
 def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _P, size=num_perm, dtype=np.uint64)
@@ -67,15 +90,15 @@ def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def shingle_hashes(text: str, ngram: int = 3) -> np.ndarray:
+def shingle_hashes(text: str, ngram: int = 3,
+                   hash_family: str = "fast") -> np.ndarray:
     """Word-shingle 64-bit hashes (n-gram Jaccard universe)."""
     toks = [t.casefold() for t in _TOKEN.findall(text)]
     if len(toks) < ngram:
         grams = [" ".join(toks)] if toks else []
     else:
         grams = [" ".join(toks[i:i + ngram]) for i in range(len(toks) - ngram + 1)]
-    return np.unique(np.fromiter(
-        (_hash64(g.encode()) for g in grams), dtype=np.uint64, count=len(grams)))
+    return np.unique(_hash_str_array(grams, hash_family))
 
 
 # ---------------------------------------------------------------------------
@@ -199,7 +222,8 @@ def _attach_value(pairs_ds, pair_schema: dict, value_ds, key_col: str,
 
 def minhash_signatures(ds, col: str = "text", id_col: str = "doc_id",
                        num_perm: int = 128, ngram: int = 3, seed: int = 42,
-                       keep_shingles: bool = False):
+                       keep_shingles: bool = False,
+                       hash_family: str = "fast"):
     """(id, signature[num_perm]) per document; vectorized over the
     permutation axis with numpy (one (shingles × perms) broadcast per doc)."""
     a, b = _perm_params(num_perm, seed)
@@ -208,7 +232,8 @@ def minhash_signatures(ds, col: str = "text", id_col: str = "doc_id",
         ids = batch[id_col].to_pylist()
         sigs, shingle_lists = [], []
         for text in batch[col].to_pylist():
-            sh = shingle_hashes(text or "", ngram=ngram)
+            sh = shingle_hashes(text or "", ngram=ngram,
+                                hash_family=hash_family)
             if sh.size == 0:
                 sig = np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
             else:
@@ -543,7 +568,8 @@ def verify_jaccard_pairs(ds, pairs_ds, col: str = "text", id_col: str = "doc_id"
                          ngram: int = 3, threshold: float = 0.5,
                          num_buckets: int = 64,
                          broadcast_bytes: int = BROADCAST_BYTES,
-                         checkpoint_dir: str | None = None):
+                         checkpoint_dir: str | None = None,
+                         hash_family: str = "fast"):
     """Exact n-gram-Jaccard verification of candidate pairs, distributed
     end-to-end: per-doc shingle sets are computed in one vectorized pass
     (the same per-doc cost MinHash already paid), re-attached to the pair
@@ -564,7 +590,8 @@ def verify_jaccard_pairs(ds, pairs_ds, col: str = "text", id_col: str = "doc_id"
     import ray.data as rd
 
     def _shingles(batch: pa.Table) -> pa.Table:
-        sh = [shingle_hashes(t or "", ngram=ngram).tolist()
+        sh = [shingle_hashes(t or "", ngram=ngram,
+                             hash_family=hash_family).tolist()
               for t in batch[col].to_pylist()]
         return pa.table({
             id_col: batch[id_col],
@@ -661,14 +688,13 @@ def verify_jaccard_pairs(ds, pairs_ds, col: str = "text", id_col: str = "doc_id"
 # ---------------------------------------------------------------------------
 # SimHash
 
-def simhash64(text: str) -> int:
+def simhash64(text: str, hash_family: str = "fast") -> int:
     """64-bit SimHash: token hashes stacked once, ONE unpackbits pass per
     document (the per-token 64-wide numpy loop cost ~10× this)."""
     toks = [t.casefold() for t in _TOKEN.findall(text)]
     if not toks:
         return 0
-    hs = np.fromiter((_hash64(t.encode()) for t in toks),
-                     dtype=np.uint64, count=len(toks))
+    hs = _hash_str_array(toks, hash_family)
     # (n_toks, 64) bit matrix, bit i of each hash in column i (LSB-first,
     # matching the (h >> i) & 1 definition)
     bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8),
@@ -678,10 +704,12 @@ def simhash64(text: str) -> int:
     return int(np.packbits(acc > 0, bitorder="little").view(np.uint64)[0])
 
 
-def simhash_signatures(ds, col: str = "text", id_col: str = "doc_id"):
+def simhash_signatures(ds, col: str = "text", id_col: str = "doc_id",
+                       hash_family: str = "fast"):
     def _sig(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
-        sigs = [simhash64(t or "") for t in batch[col].to_pylist()]
+        sigs = [simhash64(t or "", hash_family=hash_family)
+                for t in batch[col].to_pylist()]
         return pa.Table.from_pydict({
             id_col: pa.array(ids),
             "simhash": pa.array(sigs, type=pa.uint64())})
@@ -826,7 +854,11 @@ def embedding_neardup_pairs(emb_ds, id_col: str = "vec_id", col: str = "embeddin
         num_planes = auto_num_planes(emb_ds.count(), target_bucket_size)
 
     def _bucket(batch: pa.Table) -> pa.Table:
-        mat = np.asarray(batch[col].to_pylist(), dtype=np.float64)
+        from .similarity import _as_matrix
+
+        # zero-copy Arrow list flatten+reshape (uniform-width contract);
+        # to_pylist() here converted every embedding to Python floats
+        mat = _as_matrix(batch[col])
         if dim is not None and mat.shape[1] != dim:
             raise ValueError(f"embedding dim {mat.shape[1]} != {dim}")
         if num_planes:

@@ -27,7 +27,34 @@ __all__ = ["ann_topk", "ann_topk_lsh", "ann_topk_ivf", "train_ivf_centroids"]
 
 
 def _as_matrix(column) -> np.ndarray:
-    return np.asarray(column.to_pylist(), dtype=np.float64)
+    """Arrow ``list<float>`` column → ``(n, d)`` float64 matrix.
+
+    Uniform-width null-free lists (the embeddings contract) flatten
+    zero-copy: one ``values.to_numpy()`` view + reshape — no per-row
+    Python objects (a ``to_pylist()`` here was the dominant constant in
+    the ANN/near-dup map stages).  Ragged or null-bearing inputs fall
+    back to the exact ``to_pylist`` path."""
+    col = column.combine_chunks() if isinstance(column, pa.ChunkedArray) \
+        else column
+    try:
+        if pa.types.is_fixed_size_list(col.type) and col.null_count == 0 \
+                and len(col):
+            d = col.type.list_size
+            flat = col.values.to_numpy(zero_copy_only=False)
+            start = col.offset * d
+            return flat[start:start + len(col) * d] \
+                .astype(np.float64, copy=False).reshape(len(col), d)
+        if pa.types.is_list(col.type) and col.null_count == 0 and len(col):
+            offs = col.offsets.to_numpy(zero_copy_only=False)
+            widths = np.diff(offs)
+            if widths.size and widths[0] and (widths == widths[0]).all():
+                d = int(widths[0])
+                flat = col.values.to_numpy(zero_copy_only=False)
+                return flat[offs[0]:offs[0] + len(col) * d] \
+                    .astype(np.float64, copy=False).reshape(len(col), d)
+    except (pa.ArrowInvalid, ValueError):
+        pass
+    return np.asarray(col.to_pylist(), dtype=np.float64)
 
 
 def _unit(mat: np.ndarray) -> np.ndarray:
@@ -48,7 +75,7 @@ def ann_topk(emb_ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id",
 
     def _partial(batch: pa.Table) -> pa.Table:
         q = ray.get(qref)  # zero-copy view of the broadcast matrix
-        ids = np.asarray(batch[id_col].to_pylist())
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
         mat = _unit(_as_matrix(batch[col]))
         scores = q @ mat.T  # (n_queries, batch)
         out = {"query_id": [], id_col: [], "score": []}
@@ -104,7 +131,7 @@ def ann_topk_lsh(emb_ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id
 
     def _partial(batch: pa.Table) -> pa.Table:
         q, probe_map = ray.get(state)
-        ids = np.asarray(batch[id_col].to_pylist())
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
         mat = _as_matrix(batch[col])
         buckets = bucket_of(mat)
         out = {"query_id": [], id_col: [], "score": []}
@@ -194,7 +221,7 @@ def ann_topk_ivf(emb_ds, queries: np.ndarray, k: int = 10,
 
     def _partial(batch: pa.Table) -> pa.Table:
         q, centroids, probe_map = ray.get(state)
-        ids = np.asarray(batch[id_col].to_pylist())
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
         unit = _unit(_as_matrix(batch[col]))
         assign = np.argmax(unit @ centroids.T, axis=1)
         out = {"query_id": [], id_col: [], "score": []}

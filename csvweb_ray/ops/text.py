@@ -214,19 +214,22 @@ def lang_id(ds, concurrency: int = 4, batch_size: int = 2048):
                           batch_size=batch_size, concurrency=concurrency)
 
 
-def fingerprint(ds, col: str = "text", id_col: str = "doc_id", window: int = 8):
+def fingerprint(ds, col: str = "text", id_col: str = "doc_id", window: int = 8,
+                hash_family: str = "fast"):
     """Winnowing document fingerprint (Schleimer et al. 2003): rolling
     token 5-gram hashes → per-window minima → xor-fold to one 64-bit hex
-    fingerprint.  Robust to small edits; deterministic."""
+    fingerprint.  Robust to small edits; deterministic (the gram hasher
+    is a fixed-key vectorized SipHash by default — see
+    ``ops.dedup._hash_str_array``; ``hash_family="blake2b"`` restores the
+    audited per-gram path)."""
+    from .dedup import _hash_str_array
 
     def _fp_one(text: str) -> str:
         toks = [t.casefold() for t in _BPEISH.findall(text)]
         if not toks:
             return "0" * 16
         grams = [" ".join(toks[i:i + 5]) for i in range(max(1, len(toks) - 4))]
-        hs = np.fromiter(
-            (struct.unpack("<Q", hashlib.blake2b(g.encode(), digest_size=8).digest())[0]
-             for g in grams), dtype=np.uint64, count=len(grams))
+        hs = _hash_str_array(grams, hash_family)
         if len(hs) <= window:
             sel = hs
         else:
