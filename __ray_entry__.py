@@ -550,23 +550,36 @@ def _q_ann_topk_ivf(sf_dir: str):
 
 
 def _q_multimodal_stub(sf_dir: str):
-    """Multimodal plumbing driven end-to-end with deterministic fake
-    payloads derived from the documents table (rows-only check: decode is
-    stubbed, the Ray-side schema/actor/batch plumbing is real)."""
+    """Multimodal image path driven end-to-end with REAL PNG payloads:
+    each document's text hash seeds a deterministic 8×8 RGB image,
+    encoded as a valid PNG (mixed per-scanline filters) and decoded back
+    through the distributed actor-pool stage by the pure-stdlib codec
+    (``csvweb_ray.ops.png``) — rows-only driver check; the pixel-exact
+    round-trip oracle is ``tests/test_png.py``."""
     _cfg()
+    import hashlib as _hashlib
+
+    import numpy as _np
     import pyarrow as pa
 
     from csvweb_ray.ops.multimodal import decode_images
+    from csvweb_ray.ops.png import encode_png
     from csvweb_ray.queries import T
 
     def _to_media(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_pylist()
         texts = b["text"].to_pylist()
+        payloads = []
+        for t in texts:
+            seed = int.from_bytes(
+                _hashlib.sha256((t or "").encode()).digest()[:4], "little")
+            px = _np.random.RandomState(seed).randint(
+                0, 256, size=(8, 8, 3), dtype=_np.uint8)
+            payloads.append(encode_png(px, filter_type="mixed"))
         return pa.table({
             "media_id": pa.array(ids, type=pa.int64()),
             "kind": pa.array(["image"] * len(ids), type=pa.string()),
-            "payload": pa.array([(t or "").encode()[:256] for t in texts],
-                                type=pa.binary()),
+            "payload": pa.array(payloads, type=pa.binary()),
             "mime": pa.array(["image/png"] * len(ids), type=pa.string()),
             "meta": pa.array(["{}"] * len(ids), type=pa.string()),
         })

@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The decode kernels themselves are STUBS — the image/audio libraries are
-not in this container — but everything Ray-side is real and tested:
-schema contracts, actor-pool signatures, batch sizing for large binary
-payloads, and the output layout.  Swap ``_decode_*_stub`` for a real
-decoder (PIL / torchaudio / pyav) without touching the pipeline shape.
+The IMAGE path decodes for real: PNG payloads go through the pure-stdlib
+codec in ``ops.png`` (zlib inflate + numpy filter reconstruction,
+pixel-exact-tested in ``tests/test_png.py``), with PIL picked up
+automatically when importable for every other format.  Audio/video
+kernels remain injectable stubs (torchaudio/pyav are not in this
+container), but everything Ray-side is real and tested: schema
+contracts, actor-pool signatures, batch sizing for large binary
+payloads, and the output layout.
 
 Batch-size guidance baked in: binary payloads are MB-scale, so these
 stages default to small ``batch_size`` (64) and ``batch_format="pyarrow"``
@@ -58,10 +61,11 @@ class ImageDecoder:
     The decode kernel is INJECTABLE: pass ``decoder=fn`` with signature
     ``fn(payload: bytes, h: int, w: int) -> np.uint8[h, w, 3]`` — a real
     environment swaps in PIL/opencv with zero pipeline changes (PIL is
-    picked up automatically when importable).  Without an injected or
-    importable decoder, ``strict=True`` raises ``NotImplementedError``
-    and ``strict=False`` (default) produces the deterministic fake so
-    tests can drive the full distributed shape.
+    picked up automatically when importable).  Without PIL, PNG payloads
+    decode for REAL through the pure-stdlib codec (``ops.png``: chunk
+    walk + zlib inflate + numpy filter reconstruction, pixel-exact
+    pytest oracle); other formats fall back to the deterministic fake
+    (``strict=True`` raises instead of faking).
     """
 
     def __init__(self, height: int = 32, width: int = 32, strict: bool = False,
@@ -76,16 +80,24 @@ class ImageDecoder:
                 decoder = None
         self.decoder = decoder
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.decoder is None and self.strict:
+    def _decode_one(self, payload: bytes) -> np.ndarray:
+        if self.decoder is not None:
+            return self.decoder(payload, self.h, self.w)
+        from .png import is_png, stdlib_png_decoder
+
+        if is_png(payload):
+            return stdlib_png_decoder(payload, self.h, self.w)
+        if self.strict:
             raise NotImplementedError(
-                "image decoding requires PIL/opencv (none importable and no "
-                "decoder injected); run with strict=False for the "
+                "non-PNG image decoding requires PIL/opencv (none importable "
+                "and no decoder injected); run with strict=False for the "
                 "deterministic stub")
-        decode = self.decoder or (lambda p, h, w: _fake_pixels(p, h, w))
+        return _fake_pixels(payload, self.h, self.w)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         tensors = []
         for payload in batch["payload"].to_pylist():
-            px = decode(payload or b"", self.h, self.w)
+            px = self._decode_one(payload or b"")
             tensors.append(np.asarray(px, dtype=np.uint8).reshape(-1).tolist())
         col = pa.array(tensors, type=pa.list_(pa.uint8(), self.h * self.w * 3))
         return (batch.drop_columns(["payload"])
