@@ -35,13 +35,21 @@ def _cfg():
 
 
 def _ensure_cols(df, cols: dict):
-    """Zero-row grouped results lose their schema (Ray drops empty
-    blocks); re-impose the expected columns/dtypes."""
+    """Canonicalize a pandas-returning query result: fixed column order
+    AND pinned dtypes.  Zero-row grouped results lose their schema (Ray
+    drops empty blocks) and merge/concat paths widen dtypes (int64 →
+    float64 when NaNs appear, object vs string) — both make the driver's
+    value-hash diverge on value-equal frames (the pivot_wide lesson), so
+    every query declares its schema once and casts to it unconditionally."""
     import pandas as pd
 
     if len(df) == 0:
         return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
-    return df[list(cols)]
+    out = df[list(cols)].copy()
+    for c, t in cols.items():
+        if str(out[c].dtype) != str(t):
+            out[c] = out[c].astype(t)
+    return out.reset_index(drop=True)
 
 
 def _docs_corpus(sf_dir: str):
@@ -116,7 +124,8 @@ def _q_kg_docs(sf_dir: str):
 
     out_ds = (ds.map_batches(_count, batch_format="pyarrow")
               .groupby("pred").aggregate(Count(alias_name="n_triples")))
-    return out_ds.to_pandas().sort_values("pred").reset_index(drop=True)
+    return _ensure_cols(out_ds.to_pandas().sort_values("pred"),
+                        {"pred": "object", "n_triples": "int64"})
 
 
 def _q_kg_triples(sf_dir: str):
@@ -195,8 +204,8 @@ def _q_exact_dedup(sf_dir: str):
     out = (ds.groupby("text_sha256")
            .aggregate(Min("doc_id", alias_name="keep_id"),
                       Count(alias_name="n_dups")))
-    return out.to_pandas()[["keep_id", "n_dups"]] \
-        .sort_values("keep_id").reset_index(drop=True)
+    return _ensure_cols(out.to_pandas().sort_values("keep_id"),
+                        {"keep_id": "int64", "n_dups": "int64"})
 
 
 def _q_token_count(sf_dir: str):
@@ -210,7 +219,9 @@ def _q_token_count(sf_dir: str):
     out = (ds.groupby("lang")
            .aggregate(Sum("ws_tokens", alias_name="total_ws_tokens"),
                       Count(alias_name="n_docs")))
-    return out.to_pandas().sort_values("lang").reset_index(drop=True)
+    return _ensure_cols(out.to_pandas().sort_values("lang"),
+                        {"lang": "object", "total_ws_tokens": "int64",
+                         "n_docs": "int64"})
 
 
 def _q_text_stats(sf_dir: str):
@@ -221,7 +232,8 @@ def _q_text_stats(sf_dir: str):
     ds = quality_score(T(sf_dir, "documents", columns=["doc_id", "text"]))
     df = (ds.select_columns(["doc_id", "n_chars_calc", "n_sentences"])
           .sort("doc_id").to_pandas())
-    return df
+    return _ensure_cols(df, {"doc_id": "int64", "n_chars_calc": "int64",
+                             "n_sentences": "int64"})
 
 
 def _q_quality(sf_dir: str):
@@ -246,8 +258,11 @@ def _q_quality(sf_dir: str):
     df["stopword_permille"] = (df["n_stopwords"] * 1000 // nw).astype("int64")
     df["mean_wlen_centi"] = (df["sum_word_len"] * 100 // nw).astype("int64")
     df["digit_permille"] = (df["n_digits"] * 1000 // nc).astype("int64")
-    return df[["doc_id", "n_words", "n_sentences", "stopword_permille",
-               "mean_wlen_centi", "digit_permille"]]
+    return _ensure_cols(df, {"doc_id": "int64", "n_words": "int64",
+                             "n_sentences": "int64",
+                             "stopword_permille": "int64",
+                             "mean_wlen_centi": "int64",
+                             "digit_permille": "int64"})
 
 
 def _q_lang_id(sf_dir: str):
@@ -259,7 +274,8 @@ def _q_lang_id(sf_dir: str):
 
     ds = lang_id(T(sf_dir, "documents", columns=["doc_id", "text"]), concurrency=2)
     out = ds.groupby("lang_pred").aggregate(Count(alias_name="n_docs"))
-    return out.to_pandas().sort_values("lang_pred").reset_index(drop=True)
+    return _ensure_cols(out.to_pandas().sort_values("lang_pred"),
+                        {"lang_pred": "object", "n_docs": "int64"})
 
 
 def _q_approx_quantiles(sf_dir: str):
@@ -275,8 +291,10 @@ def _q_approx_quantiles(sf_dir: str):
 
     got = approx_quantiles(T(sf_dir, "lineitem", columns=["l_extendedprice"]),
                            "l_extendedprice", qs=(0.5, 0.95), bins=8192)
-    return pd.DataFrame({"q": sorted(got),
-                         "value": [round(got[q], 4) for q in sorted(got)]})
+    return _ensure_cols(
+        pd.DataFrame({"q": sorted(got),
+                      "value": [round(got[q], 4) for q in sorted(got)]}),
+        {"q": "float64", "value": "float64"})
 
 
 def _q_quantiles_sketch(sf_dir: str):
@@ -291,7 +309,8 @@ def _q_quantiles_sketch(sf_dir: str):
         T(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"]),
         "l_returnflag", "l_extendedprice", qs=(0.5, 0.95), bins=8192)
     df["value"] = df["value"].round(4)
-    return df
+    return _ensure_cols(df, {"l_returnflag": "object", "q": "float64",
+                             "value": "float64"})
 
 
 def _q_distinct_count_hll(sf_dir: str):
@@ -305,7 +324,8 @@ def _q_distinct_count_hll(sf_dir: str):
 
     est = hll_distinct(T(sf_dir, "events", columns=["user_id"]),
                        "user_id", p=12)
-    return pd.DataFrame({"n_distinct_est": [int(round(est))]})
+    return _ensure_cols(pd.DataFrame({"n_distinct_est": [int(round(est))]}),
+                        {"n_distinct_est": "int64"})
 
 
 def _q_stratified_sample(sf_dir: str):
@@ -331,10 +351,8 @@ def _q_top_ngrams(sf_dir: str):
 
     out = top_ngrams(T(sf_dir, "documents", columns=["doc_id", "text"]),
                      n=3, k=20)
-    df = out.to_pandas()
-    df["n"] = df["n"].astype("int64")
-    return df.sort_values(["n", "gram"],
-                          ascending=[False, True]).reset_index(drop=True)
+    df = out.to_pandas().sort_values(["n", "gram"], ascending=[False, True])
+    return _ensure_cols(df, {"gram": "object", "n": "int64"})
 
 
 def _q_fingerprint(sf_dir: str):
@@ -343,8 +361,9 @@ def _q_fingerprint(sf_dir: str):
     from csvweb_ray.queries import T
 
     ds = fingerprint(T(sf_dir, "documents", columns=["doc_id", "text"]))
-    return (ds.select_columns(["doc_id", "fingerprint"])
-            .sort("doc_id").to_pandas())
+    return _ensure_cols(
+        ds.select_columns(["doc_id", "fingerprint"]).sort("doc_id").to_pandas(),
+        {"doc_id": "int64", "fingerprint": "object"})
 
 
 def _q_minhash_pairs(sf_dir: str):

@@ -17,7 +17,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["T"]
+__all__ = ["T", "auto_num_buckets"]
 
 
 def T(sf_dir: str, name: str, columns=None):
@@ -25,6 +25,37 @@ def T(sf_dir: str, name: str, columns=None):
 
     return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
                            columns=columns)
+
+
+def auto_num_buckets(n_rows: int, target_bucket_rows: int = 1_000_000,
+                     lo: int = 16, hi: int = 1 << 14) -> int:
+    """Power-of-two bucket count for the key-bucketed map_groups queries
+    (sessionize / as-of join / interval join), sized to the input like
+    ``auto_num_planes`` sizes LSH buckets: ≈ ``n_rows /
+    target_bucket_rows`` buckets, clamped to [lo, hi], rounded up to a
+    power of two so the ``key & (n-1)`` mask stays one Arrow kernel.
+
+    Why it matters at 100 TB: a FIXED bucket count means per-bucket rows
+    grow linearly with the table — sessionize pays O(rows log rows) and
+    the interval join O(rows + pairs) *per bucket in one task's pandas
+    heap*.  Scaling buckets with the input pins per-bucket work at
+    ~``target_bucket_rows`` regardless of table size.
+
+    Skew bound (documented contract of all three queries): hashing
+    co-locates each key's rows, so one hot key lower-bounds its bucket —
+    per-bucket rows = max(hot-key rows, n_rows / num_buckets) and, for
+    the interval join, per-bucket pairs = Σ_user (rows_user × avg window
+    occupancy).  More buckets dilute the *other* keys sharing the hot
+    bucket but can never split the hot key itself; a pathological single
+    key needs a per-key remedy (sessionize: per-key work is O(n log n),
+    fine; interval join: the gap bound caps window occupancy, so pairs
+    stay O(rows × occupancy), not O(rows²))."""
+    import math
+
+    if n_rows <= 0:
+        return lo
+    want = max(1, math.ceil(n_rows / target_bucket_rows))
+    return max(lo, min(hi, 1 << math.ceil(math.log2(want))))
 
 
 # ---------------------------------------------------------------------------
@@ -237,14 +268,20 @@ def q_window_tumbling(sf_dir: str):
 # ---------------------------------------------------------------------------
 # as-of join (bucketed merge_asof; guide §Joins)
 
-def q_asof_join(sf_dir: str, num_buckets: int = 16):
+def q_asof_join(sf_dir: str, num_buckets: int | None = None):
     """Each event joined to the most recent prior order of the same
     user/customer: hash the key into ``num_buckets`` buckets (NOT one
     group per raw key — that is one pandas call per user and maps a hot
     user onto a single task), then one ``pd.merge_asof(..., by="k")`` per
-    bucket.  Partitioning assumption: key co-location per bucket."""
+    bucket.  Partitioning assumption: key co-location per bucket.
+    ``num_buckets`` defaults to ``auto_num_buckets`` over the combined
+    row count (parquet-metadata count, no data pass) so per-bucket rows
+    stay bounded as the input grows; see its docstring for the hot-key
+    skew bound."""
     ev = T(sf_dir, "events", columns=["event_id", "user_id", "ts"])
     od = T(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    if num_buckets is None:
+        num_buckets = auto_num_buckets(ev.count() + od.count())
 
     def _mark(side):
         def fn(b: pa.Table) -> pa.Table:
@@ -375,15 +412,21 @@ def q_quantiles(sf_dir: str):
 # ---------------------------------------------------------------------------
 # session windows (streaming-shaped; 30-minute inactivity gap)
 
-def q_sessionize(sf_dir: str, gap_minutes: int = 30, num_buckets: int = 16):
+def q_sessionize(sf_dir: str, gap_minutes: int = 30,
+                 num_buckets: int | None = None):
     """Per-user session windows: events sorted within user, a new session
     starts after a >30-min gap.  Users are hashed into ``num_buckets``
     buckets (one pandas call per BUCKET, not per user — the
     map_groups-cardinality trap); inside a bucket the session boundaries
     and aggregates are fully vectorized pandas groupby operations.
     Ordering assumption: per-user order established inside the bucket (the
-    groupby co-locates each user's rows).  Output: one row per session."""
+    groupby co-locates each user's rows).  Output: one row per session.
+    ``num_buckets`` defaults to ``auto_num_buckets(row count)`` so a
+    bucket's rows stay ~constant as the table grows; a single hot user
+    lower-bounds one bucket at its own row count (see auto_num_buckets)."""
     ds = T(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    if num_buckets is None:
+        num_buckets = auto_num_buckets(ds.count())
 
     def _bucket(b: pa.Table) -> pa.Table:
         bucket = pc.cast(pc.bit_wise_and(pc.cast(b["user_id"], pa.int64()),
@@ -485,7 +528,8 @@ def q_anti_join(sf_dir: str):
 # ---------------------------------------------------------------------------
 # interval (range) join
 
-def q_range_join(sf_dir: str, gap_minutes: int = 5, num_buckets: int = 16):
+def q_range_join(sf_dir: str, gap_minutes: int = 5,
+                 num_buckets: int | None = None):
     """Interval self-join: ordered event pairs of the same user within
     ``gap_minutes``.  Users hash into buckets (ONE shuffle, the sessionize
     partitioning); inside a bucket the pair expansion is fully vectorized:
@@ -494,8 +538,15 @@ def q_range_join(sf_dir: str, gap_minutes: int = 5, num_buckets: int = 16):
     per bucket, and the (a, b) index pairs materialized with a
     repeat/cumsum expansion — no per-row or per-user Python.  Partitioning
     assumption: a user's rows co-locate in one bucket (same as
-    ``q_sessionize``); skewed users bound the per-bucket pair count."""
+    ``q_sessionize``).  ``num_buckets`` defaults to
+    ``auto_num_buckets(row count)`` — per-bucket rows stay ~constant as
+    the table grows, and more buckets also push the int64 key-overflow
+    guard further out (fewer distinct users per bucket).  Skew: a hot
+    user lower-bounds its bucket; its pair count is capped at rows ×
+    window-occupancy by the gap bound, not rows² (see auto_num_buckets)."""
     ds = T(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    if num_buckets is None:
+        num_buckets = auto_num_buckets(ds.count())
     gap_us = gap_minutes * 60 * 1_000_000
 
     def _bucket(b: pa.Table) -> pa.Table:

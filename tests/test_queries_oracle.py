@@ -80,6 +80,103 @@ def test_range_join_nonzero(ray_session, duck):
     assert n > 0
 
 
+def test_auto_num_buckets():
+    """Bucket-count knob: power of two, clamped, grows with the input."""
+    from csvweb_ray.queries import auto_num_buckets
+
+    assert auto_num_buckets(0) == 16
+    assert auto_num_buckets(10_000) == 16          # lo clamp at bench scale
+    assert auto_num_buckets(50_000_000) == 64       # ceil(50) → next pow2
+    assert auto_num_buckets(10**12) == 1 << 14      # hi clamp
+    prev = 0
+    for n in (1, 10**6, 10**8, 10**10, 10**12):
+        b = auto_num_buckets(n)
+        assert b & (b - 1) == 0, "mask arithmetic needs a power of two"
+        assert b >= prev, "monotone in the input size"
+        prev = b
+
+
+def _hot_user_events(tmp_path):
+    """One user owns ~80% of all events — the adversarial skew case the
+    bucketed queries' docstrings bound: the hot user co-locates in ONE
+    bucket and that bucket's work is lower-bounded by the hot user."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(11)
+    rows, eid = [], 0
+    t0 = pd.Timestamp("2024-03-01")
+    # hot user 7: 800 events in bursts (2-min steps) with occasional
+    # >30-min gaps, so sessions split and 5-min range pairs exist
+    t = t0
+    for i in range(800):
+        t = t + pd.Timedelta(minutes=45 if i % 50 == 49 else 2)
+        rows.append({"event_id": eid, "user_id": 7, "ts": t})
+        eid += 1
+    for u in range(100, 120):  # 20 cold users, 10 events each
+        t = t0 + pd.Timedelta(minutes=int(rng.randint(0, 60)))
+        for _ in range(10):
+            t = t + pd.Timedelta(minutes=int(rng.randint(1, 50)))
+            rows.append({"event_id": eid, "user_id": u, "ts": t})
+            eid += 1
+    df = pd.DataFrame(rows)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    return df
+
+
+def test_sessionize_hot_user_skew(ray_session, tmp_path):
+    from csvweb_ray.queries import q_sessionize
+
+    df = _hot_user_events(tmp_path)
+
+    def twin(g):
+        g = g.sort_values(["ts", "event_id"])
+        sid = (g.ts.diff() > pd.Timedelta(minutes=30)).cumsum()
+        out = g.groupby(sid).agg(n_events=("event_id", "size"),
+                                 t_start=("ts", "min"), t_end=("ts", "max"))
+        out["session_id"] = range(len(out))
+        return out
+
+    import pandas as pd
+
+    expect = (df.groupby("user_id", group_keys=True).apply(twin)
+              .reset_index(level=0).reset_index(drop=True)
+              .sort_values(["user_id", "session_id"]).reset_index(drop=True))
+
+    results = []
+    for nb in (4, 64):  # hot bucket alone vs diluted — output invariant
+        got = (q_sessionize(str(tmp_path), num_buckets=nb).to_pandas()
+               .sort_values(["user_id", "session_id"])
+               .reset_index(drop=True))
+        assert got.n_events.tolist() == expect.n_events.tolist()
+        assert got.t_start.tolist() == expect.t_start.tolist()
+        assert got.t_end.tolist() == expect.t_end.tolist()
+        results.append(got)
+    assert results[0].equals(results[1])
+    # the hot user really is skewed: one session stream holds most rows
+    assert int(expect[expect.user_id == 7].n_events.sum()) == 800
+
+
+def test_range_join_hot_user_skew(ray_session, tmp_path):
+    import pandas as pd
+
+    from csvweb_ray.queries import q_range_join
+
+    df = _hot_user_events(tmp_path)
+    m = df.merge(df, on="user_id", suffixes=("_a", "_b"))
+    m = m[(m.ts_b > m.ts_a) & (m.ts_b <= m.ts_a + pd.Timedelta(minutes=5))]
+    expect = m.sort_values(["event_id_a", "event_id_b"])
+
+    for nb in (4, 64):
+        got = q_range_join(str(tmp_path), num_buckets=nb).to_pandas()
+        assert len(got) == len(expect) > 0
+        assert got.a_event_id.tolist() == expect.event_id_a.tolist()
+        assert got.b_event_id.tolist() == expect.event_id_b.tolist()
+
+
 def test_range_join_huge_user_ids(ray_session, tmp_path):
     """Snowflake-scale user ids must not overflow the interval-join key
     encoding (raw_id x span exceeded int64 and silently unsorted the

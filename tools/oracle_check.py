@@ -31,6 +31,26 @@ def _canon(df):
     return df.reset_index(drop=True)
 
 
+def _dtype_kind(dt) -> str:
+    """Collapse a pandas dtype to the kind the driver's value-hash is
+    sensitive to: int vs float vs bool vs datetime vs everything-else.
+    Value-equal frames with different kinds (int64 5 vs float64 5.0 —
+    the pivot_wide lesson) hash differently at the driver."""
+    s = str(dt)
+    if s.startswith("datetime64"):
+        return "datetime"
+    k = getattr(dt, "kind", "O")
+    return {"i": "int", "u": "int", "f": "float", "b": "bool",
+            "M": "datetime"}.get(k, "object")
+
+
+def _dtypes_match(a, b) -> list:
+    """Columns whose dtype KIND differs between engine and oracle."""
+    return [f"{c}: {a[c].dtype} vs {b[c].dtype}"
+            for c in a.columns
+            if _dtype_kind(a[c].dtype) != _dtype_kind(b[c].dtype)]
+
+
 def _values_equal(a, b) -> bool:
     import numpy as np
 
@@ -80,18 +100,26 @@ def main() -> int:
             failures += 1
             continue
         if name not in sqls:
-            print(f"{name:24s} rows={len(mine):6d}  (no_oracle)")
+            dts = ",".join(f"{c}:{_dtype_kind(mine[c].dtype)}"
+                           for c in mine.columns)
+            print(f"{name:24s} rows={len(mine):6d}  (no_oracle)  [{dts}]")
             continue
         oracle = _canon(con.execute(sqls[name]).df())
         rows_ok = len(mine) == len(oracle)
         schema_ok = list(mine.columns) == list(oracle.columns)
+        dtype_bad = _dtypes_match(mine, oracle) if schema_ok else []
         vals_ok = rows_ok and schema_ok and _values_equal(mine, oracle)
-        status = "OK" if (rows_ok and schema_ok and vals_ok) else "FAIL"
+        status = "OK" if (rows_ok and schema_ok and vals_ok
+                          and not dtype_bad) else "FAIL"
         if status == "FAIL":
             failures += 1
         print(f"{name:24s} rows={len(mine):6d}/{len(oracle):6d} "
               f"schema={'Y' if schema_ok else 'N'} "
+              f"dtypes={'Y' if not dtype_bad else 'N'} "
               f"values={'Y' if vals_ok else 'N'}  {status}")
+        for d in dtype_bad:
+            print(f"  dtype-kind mismatch (driver-hash red even on equal "
+                  f"values): {d}")
         if status == "FAIL" and len(mine) and len(oracle):
             print("  mine:  ", mine.head(3).to_dict("records"))
             print("  oracle:", oracle.head(3).to_dict("records"))
