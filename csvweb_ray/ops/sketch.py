@@ -124,7 +124,12 @@ def hll_distinct(ds, col: str, p: int = 12,
             return pa.table({
                 "shard": pa.array([_shard_of(reg, merge_shards)], pa.int32()),
                 "reg": pa.array([reg.tolist()], type=pa.list_(pa.int64()))})
-        h = hash_array(vals.astype(object)).astype(np.uint64)
+        # numeric columns hash fully vectorized (splitmix-style finalizer
+        # inside hash_array); only non-numeric dtypes take the per-element
+        # object path — at 100-TB row counts this is the stage's CPU floor
+        if vals.dtype == object or vals.dtype.kind in "OUS":
+            vals = vals.astype(object)
+        h = hash_array(vals).astype(np.uint64)
         idx = (h >> np.uint64(wbits)).astype(np.int64)
         w = h & wmask
         rho = np.where(w == 0, wbits + 1, wbits - (_bit_length(w) - 1)) \
@@ -276,8 +281,12 @@ def approx_quantiles_by(ds, group_col: str, col: str, qs=(0.5, 0.95),
     width = np.where(finite & (hi > lo), (hi - lo) / bins, 1.0)
 
     def _partial(b: pa.Table) -> pa.Table:
-        g = np.asarray([ordinal[x] for x in b[group_col].to_pylist()],
-                       dtype=np.int64)
+        import pandas as pd
+
+        # vectorized group→ordinal lookup (one reindex), not a per-row
+        # Python dict get over the full column
+        g = (pd.Series(b[group_col].to_pandas()).map(ordinal)
+             .to_numpy(dtype=np.int64))
         v = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
         ok = np.isfinite(v)
         g, v = g[ok], v[ok]

@@ -119,15 +119,19 @@ def q_broadcast_join(sf_dir: str):
     from ray.data.aggregate import Sum
 
     cust = T(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_ref = ray.put(dict(zip(cust.c_custkey, cust.c_mktsegment)))
+    # broadcast an index-keyed Series, not a dict: the probe is then one
+    # vectorized reindex per batch instead of a per-row dict lookup
+    seg_ref = ray.put(pd.Series(cust.c_mktsegment.to_numpy(),
+                                index=cust.c_custkey.to_numpy()))
 
     ds = T(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def _attach(b: pa.Table) -> pa.Table:
         seg = ray.get(seg_ref)
-        keys = b["o_custkey"].to_pylist()
-        segs = [seg.get(k) for k in keys]
-        out = b.append_column("c_mktsegment", pa.array(segs, type=pa.string()))
+        keys = b["o_custkey"].to_numpy(zero_copy_only=False)
+        segs = seg.reindex(keys).to_numpy()
+        out = b.append_column(
+            "c_mktsegment", pa.array(segs, type=pa.string(), from_pandas=True))
         return out.filter(pc.is_valid(out["c_mktsegment"]))
 
     out = (ds.map_batches(_attach, batch_format="pyarrow")
@@ -338,13 +342,15 @@ def q_topk_per_group(sf_dir: str, k: int = 3):
     import ray
 
     cust = T(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_ref = ray.put(dict(zip(cust.c_custkey, cust.c_mktsegment)))
+    seg_ref = ray.put(pd.Series(cust.c_mktsegment.to_numpy(),
+                                index=cust.c_custkey.to_numpy()))
     ds = T(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
 
     def _attach_partial(b: pa.Table) -> pa.Table:
         seg = ray.get(seg_ref)
         df = b.to_pandas()
-        df["c_mktsegment"] = df.o_custkey.map(seg)
+        # Series-keyed map = one vectorized reindex, not per-row dict gets
+        df["c_mktsegment"] = seg.reindex(df.o_custkey.to_numpy()).to_numpy()
         df = df.dropna(subset=["c_mktsegment"])
         df = (df.sort_values(["c_mktsegment", "o_totalprice", "o_orderkey"],
                              ascending=[True, False, True])
