@@ -4,11 +4,13 @@ columns with typed metadata.
 The IMAGE path decodes for real: PNG payloads go through the pure-stdlib
 codec in ``ops.png`` (zlib inflate + numpy filter reconstruction,
 pixel-exact-tested in ``tests/test_png.py``), with PIL picked up
-automatically when importable for every other format.  Audio/video
-kernels remain injectable stubs (torchaudio/pyav are not in this
-container), but everything Ray-side is real and tested: schema
-contracts, actor-pool signatures, batch sizing for large binary
-payloads, and the output layout.
+automatically when importable for every other format.  The AUDIO path
+featurizes for real too: PCM WAV payloads go through ``ops.wav`` (RIFF
+parse + rfft filter-bank energies, sample-exact round-trip tested in
+``tests/test_wav.py``).  Video frame extraction remains an injectable
+stub (pyav/opencv are not in this container), but everything Ray-side
+is real and tested: schema contracts, actor-pool signatures, batch
+sizing for large binary payloads, and the output layout.
 
 Batch-size guidance baked in: binary payloads are MB-scale, so these
 stages default to small ``batch_size`` (64) and ``batch_format="pyarrow"``
@@ -117,25 +119,34 @@ def decode_images(ds, height: int = 32, width: int = 32, concurrency: int = 2,
 class AudioFeaturizer:
     """Actor-pool stage: waveform → fixed-size feature vector.  Injectable
     like ``ImageDecoder``: pass ``featurizer(payload: bytes, n_bands) ->
-    float[n_bands]`` (e.g. a torchaudio log-mel) — the stub is a
-    deterministic hash-seeded band vector."""
+    float[n_bands]`` (e.g. a torchaudio log-mel).  Without one, PCM WAV
+    payloads featurize for REAL through the pure-stdlib codec
+    (``ops.wav``: RIFF parse + rfft filter-bank energies, sample-exact
+    round-trip pytest oracle); other formats fall back to the
+    deterministic hash-seeded stub (``strict=True`` raises instead)."""
 
     def __init__(self, n_bands: int = 16, strict: bool = False,
                  featurizer=None):
         self.n_bands, self.strict = n_bands, strict
         self.featurizer = featurizer
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.featurizer is None and self.strict:
+    def _feat_one(self, payload: bytes) -> np.ndarray:
+        if self.featurizer is not None:
+            return self.featurizer(payload, self.n_bands)
+        from .wav import is_wav, stdlib_wav_featurizer
+
+        if is_wav(payload):
+            return stdlib_wav_featurizer(payload, self.n_bands)
+        if self.strict:
             raise NotImplementedError(
-                "audio decode requires torchaudio/librosa (none injected)")
+                "non-WAV audio decoding requires torchaudio/librosa (none "
+                "importable and no featurizer injected); run with "
+                "strict=False for the deterministic stub")
+        seed = int.from_bytes(hashlib.sha256(payload).digest()[:4], "little")
+        return np.random.RandomState(seed).standard_normal(self.n_bands)
 
-        def _stub(payload: bytes, n: int):
-            seed = int.from_bytes(hashlib.sha256(payload).digest()[:4], "little")
-            return np.random.RandomState(seed).standard_normal(n)
-
-        feat = self.featurizer or _stub
-        feats = [np.asarray(feat(p or b"", self.n_bands),
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [np.asarray(self._feat_one(p or b""),
                             dtype=np.float64).tolist()
                  for p in batch["payload"].to_pylist()]
         col = pa.array(feats, type=pa.list_(pa.float64(), self.n_bands))
