@@ -616,6 +616,61 @@ def _q_multimodal_stub(sf_dir: str):
             .sort("media_id").to_pandas())
 
 
+def _q_audio_features(sf_dir: str):
+    """Multimodal audio path driven end-to-end with REAL WAV payloads —
+    and a real SQL oracle: each document gets a 0.25 s 16-bit PCM sine
+    tone planted mid-band at ``doc_id % 14 + 1`` (of 16 rfft filter
+    bands), the distributed actor-pool stage decodes and featurizes it
+    through the pure-stdlib codec (``csvweb_ray.ops.wav``), and the
+    engine reports the argmax band — which must equal the planted band
+    the oracle computes from ``doc_id`` alone.  The hash match therefore
+    certifies the full decode → FFT → filter-bank path, not just row
+    plumbing."""
+    _cfg()
+    import numpy as _np
+    import pyarrow as pa
+
+    from csvweb_ray.ops.multimodal import extract_audio_features
+    from csvweb_ray.ops.wav import encode_wav
+    from csvweb_ray.queries import T
+
+    rate, n = 8000, 2000                       # 0.25 s @ 8 kHz
+    t = _np.arange(n) / rate
+
+    def _to_media(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        payloads = []
+        for did in ids:
+            band = int(did) % 14 + 1
+            freq = 250.0 * band + 125.0        # mid-band of 250-Hz bands
+            payloads.append(encode_wav(
+                0.5 * _np.sin(2 * _np.pi * freq * t), rate, sampwidth=2))
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "kind": pa.array(["audio"] * len(ids), type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(["audio/wav"] * len(ids), type=pa.string()),
+            "meta": pa.array(["{}"] * len(ids), type=pa.string()),
+        })
+
+    media = (T(sf_dir, "documents", columns=["doc_id"])
+             .map_batches(_to_media, batch_format="pyarrow"))
+    feats = extract_audio_features(media, n_bands=16, concurrency=2)
+
+    def _peak(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "peak_band": pa.array([], type=pa.int64())})
+        m = _np.asarray(b["features"].to_pylist(), dtype=_np.float64)
+        return pa.table({
+            "doc_id": b["media_id"],
+            "peak_band": pa.array(m.argmax(axis=1).astype("int64")),
+        })
+
+    return (feats.map_batches(_peak, batch_format="pyarrow")
+            .sort("doc_id").to_pandas())
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from csvweb_ray import queries as Q
 
@@ -675,6 +730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf_full": _q_ann_topk_ivf_full,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "multimodal_stub": _q_multimodal_stub,
+        "audio_features": _q_audio_features,
     }
 
 
@@ -1040,6 +1096,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, round(CAST(raw_score AS DOUBLE), 3) AS score
             FROM scored WHERE rn <= 10
             ORDER BY query_id, score DESC, vec_id""",
+        # The engine recovers each tone's filter band through a real WAV
+        # decode + rfft filter bank; the planted band is a pure function
+        # of doc_id, so SQL can state the expected answer exactly.
+        "audio_features": """
+            SELECT doc_id, CAST(doc_id % 14 + 1 AS BIGINT) AS peak_band
+            FROM documents ORDER BY doc_id""",
     }
     # IVF with nprobe == num_centroids is exact brute force: same oracle
     sqls["ann_topk_ivf_full"] = sqls["ann_topk"]

@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     # round-4 additions (new keys only — existing keys stay comparable
     # with BENCH_r01-r03)
     "semi_join", "range_join", "rollup", "pivot_wide", "ann_topk_ivf",
+    # round-5 addition: real WAV decode + FFT filter bank through the
+    # multimodal actor pool (new key only)
+    "audio_features",
 ]
 
 
