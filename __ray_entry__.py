@@ -671,6 +671,68 @@ def _q_audio_features(sf_dir: str):
             .sort("doc_id").to_pandas())
 
 
+def _q_video_frames(sf_dir: str):
+    """Multimodal video path driven end-to-end with REAL Y4M payloads and
+    a real SQL oracle: each document gets a YUV4MPEG2 clip of
+    ``doc_id % 7 + 1`` solid frames with luma ``(doc_id*31 + f*17) % 256``
+    and neutral chroma, the distributed actor-pool stage extracts every
+    frame through the pure-stdlib codec (``csvweb_ray.ops.y4m``), and the
+    engine reports each frame's gray level — which must equal the planted
+    value the oracle computes from (doc_id, frame_no) alone.  The hash
+    match certifies header/FRAME parsing, plane layout, BT.601 RGB and
+    the resize, not just row plumbing."""
+    _cfg()
+    import numpy as _np
+    import pyarrow as pa
+
+    from csvweb_ray.ops.multimodal import sample_video_frames
+    from csvweb_ray.ops.y4m import encode_y4m
+    from csvweb_ray.queries import T
+
+    def _to_media(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        payloads = []
+        for did in ids:
+            n = int(did) % 7 + 1
+            frames = [(_np.full((16, 16), (int(did) * 31 + f * 17) % 256,
+                                _np.uint8),
+                       _np.full((8, 8), 128, _np.uint8),
+                       _np.full((8, 8), 128, _np.uint8))
+                      for f in range(n)]
+            payloads.append(encode_y4m(frames))
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "kind": pa.array(["video"] * len(ids), type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(["video/x-yuv4mpeg"] * len(ids),
+                             type=pa.string()),
+            "meta": pa.array(["{}"] * len(ids), type=pa.string()),
+        })
+
+    media = (T(sf_dir, "documents", columns=["doc_id"])
+             .map_batches(_to_media, batch_format="pyarrow"))
+    frames = sample_video_frames(media, every_nth=1, concurrency=2)
+
+    def _gray(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "frame_no": pa.array([], type=pa.int32()),
+                             "gray": pa.array([], type=pa.int64())})
+        m = _np.asarray(b["pixels"].to_pylist(), dtype=_np.uint8)
+        # solid frame ⇒ min == max; assert so a decode bug can't hide
+        # behind a lucky mean
+        if not (m.min(axis=1) == m.max(axis=1)).all():
+            raise AssertionError("non-solid decoded frame")
+        return pa.table({
+            "doc_id": b["media_id"],
+            "frame_no": b["frame_no"],
+            "gray": pa.array(m[:, 0].astype("int64")),
+        })
+
+    return (frames.map_batches(_gray, batch_format="pyarrow")
+            .sort(["doc_id", "frame_no"]).to_pandas())
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from csvweb_ray import queries as Q
 
@@ -731,6 +793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": _q_ann_topk_ivf,
         "multimodal_stub": _q_multimodal_stub,
         "audio_features": _q_audio_features,
+        "video_frames": _q_video_frames,
     }
 
 
@@ -1102,6 +1165,18 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": """
             SELECT doc_id, CAST(doc_id % 14 + 1 AS BIGINT) AS peak_band
             FROM documents ORDER BY doc_id""",
+        # The engine recovers each frame's gray level through a real Y4M
+        # decode (header/FRAME parse, YUV planes, BT.601, resize); the
+        # planted level is a pure function of (doc_id, frame_no).
+        # (fixed series + filter, not a lateral generate_series(0, expr):
+        # this DuckDB build rejects lateral column parameters there)
+        "video_frames": """
+            SELECT d.doc_id, CAST(t.f AS INTEGER) AS frame_no,
+                   CAST((d.doc_id * 31 + t.f * 17) % 256 AS BIGINT) AS gray
+            FROM documents d
+            CROSS JOIN (SELECT unnest(range(0, 7)) AS f) t
+            WHERE t.f <= d.doc_id % 7
+            ORDER BY d.doc_id, t.f""",
     }
     # IVF with nprobe == num_centroids is exact brute force: same oracle
     sqls["ann_topk_ivf_full"] = sqls["ann_topk"]

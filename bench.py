@@ -50,9 +50,9 @@ BENCH_QUERIES = [
     # round-4 additions (new keys only — existing keys stay comparable
     # with BENCH_r01-r03)
     "semi_join", "range_join", "rollup", "pivot_wide", "ann_topk_ivf",
-    # round-5 addition: real WAV decode + FFT filter bank through the
-    # multimodal actor pool (new key only)
-    "audio_features",
+    # round-5 additions: real WAV decode + FFT filter bank, and real Y4M
+    # frame extraction, through the multimodal actor pools (new keys only)
+    "audio_features", "video_frames",
 ]
 
 
@@ -364,18 +364,22 @@ def _record(result: dict) -> None:
     """Append the scaling evidence to BASELINE.md (criterion ≥ 0.8)."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
     stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+    # leg sizes from the result keys (sec_<lo>/sec_<hi>), not hardcoded
+    legs = sorted(int(k[4:]) for k in result
+                  if k.startswith("sec_") and k[4:].isdigit())
+    _lo, _hi = (legs[0], legs[-1]) if len(legs) >= 2 else (8, 32)
     lines = [
         "", f"## Bench result ({stamp})", "",
         "| metric | value |", "|---|---|",
     ] + [f"| {k} | {v} |" for k, v in result.items() if k != "metric"] + [
         "",
         f"Protocol: same corpus ({result['corpus_rows']} CSV rows), same DAG, "
-        "fresh `ray.init(num_cpus=8)` vs `num_cpus=32` processes; "
-        "efficiency = (t8/t32)/4"
+        f"fresh `ray.init(num_cpus={_lo})` vs `num_cpus={_hi}` processes; "
+        f"efficiency = (t{_lo}/t{_hi})/{_hi // _lo}"
         + ("; each leg taskset-pinned to that many physical cores (the "
-           "8-CPU leg models a quarter-size cluster rather than borrowing "
-           "the idle cores' turbo/bandwidth)" if result.get("cpu_pinned")
-           else "") + ".",
+           f"{_lo}-CPU leg models a quarter-size cluster rather than "
+           "borrowing the idle cores' turbo/bandwidth)"
+           if result.get("cpu_pinned") else "") + ".",
     ]
     with open(path, "a", encoding="utf-8") as fh:
         fh.write("\n".join(lines) + "\n")

@@ -7,10 +7,12 @@ pixel-exact-tested in ``tests/test_png.py``), with PIL picked up
 automatically when importable for every other format.  The AUDIO path
 featurizes for real too: PCM WAV payloads go through ``ops.wav`` (RIFF
 parse + rfft filter-bank energies, sample-exact round-trip tested in
-``tests/test_wav.py``).  Video frame extraction remains an injectable
-stub (pyav/opencv are not in this container), but everything Ray-side
-is real and tested: schema contracts, actor-pool signatures, batch
-sizing for large binary payloads, and the output layout.
+``tests/test_wav.py``).  The VIDEO path extracts frames for real from
+YUV4MPEG2 payloads via ``ops.y4m`` (header/FRAME parse + BT.601 RGB,
+round-trip tested in ``tests/test_y4m.py``); compressed containers
+(mp4/mkv) still need an injected pyav/opencv extractor.  Everything
+Ray-side is real and tested: schema contracts, actor-pool signatures,
+batch sizing for large binary payloads, and the output layout.
 
 Batch-size guidance baked in: binary payloads are MB-scale, so these
 stages default to small ``batch_size`` (64) and ``batch_format="pyarrow"``
@@ -25,7 +27,8 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["ImageDecoder", "decode_images", "AudioFeaturizer",
-           "extract_audio_features", "sample_video_frames", "MEDIA_SCHEMA"]
+           "extract_audio_features", "VideoFrameSampler",
+           "sample_video_frames", "MEDIA_SCHEMA"]
 
 #: Input contract for a multimodal corpus table.
 MEDIA_SCHEMA = pa.schema([
@@ -161,28 +164,65 @@ def extract_audio_features(ds, n_bands: int = 16, concurrency: int = 2,
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
 
 
-def sample_video_frames(ds, every_nth: int = 10, concurrency: int = 2,
-                        batch_size: int = 16):
-    """Frame sampling: one input row → N frame rows (flat-map shape via
-    map_batches).  Frame extraction itself is the stub; the row explosion,
-    lineage columns and fixed-shape output are real."""
+class VideoFrameSampler:
+    """Actor-pool stage: video payload → sampled frame rows (one input
+    row explodes into N output rows — flat-map shape via map_batches).
 
-    def _sample(batch: pa.Table) -> pa.Table:
+    Injectable like its image/audio siblings: pass ``extractor(payload,
+    every_nth, h, w) -> [(frame_no, uint8[h, w, 3]), …]`` (e.g. a pyav
+    keyframe walker).  Without one, YUV4MPEG2 payloads extract for REAL
+    through the pure-stdlib codec (``ops.y4m``: header/FRAME parse,
+    planar YUV → BT.601 RGB, nearest resize — round-trip pytest oracle);
+    other formats fall back to the deterministic hash-seeded stub
+    (``strict=True`` raises instead)."""
+
+    def __init__(self, every_nth: int = 10, height: int = 8, width: int = 8,
+                 strict: bool = False, extractor=None):
+        self.every_nth = max(1, every_nth)
+        self.h, self.w, self.strict = height, width, strict
+        self.extractor = extractor
+
+    def _frames_one(self, payload: bytes):
+        if self.extractor is not None:
+            return self.extractor(payload, self.every_nth, self.h, self.w)
+        from .y4m import is_y4m, stdlib_y4m_frame_sampler
+
+        if is_y4m(payload):
+            return stdlib_y4m_frame_sampler(payload, self.every_nth,
+                                            self.h, self.w)
+        if self.strict:
+            raise NotImplementedError(
+                "non-Y4M video decoding requires pyav/opencv (none "
+                "importable and no extractor injected); run with "
+                "strict=False for the deterministic stub")
+        n_frames = (len(payload) % 50) + 1  # stub: payload-derived
+        return [(f, _fake_pixels(payload + f.to_bytes(4, "little"),
+                                 self.h, self.w))
+                for f in range(0, n_frames, self.every_nth)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         out = {"media_id": [], "frame_no": [], "pixels": []}
         for mid, payload in zip(batch["media_id"].to_pylist(),
                                 batch["payload"].to_pylist()):
-            n_frames = (len(payload or b"") % 50) + 1  # stub: payload-derived
-            for f in range(0, n_frames, every_nth):
+            for fno, px in self._frames_one(payload or b""):
                 out["media_id"].append(mid)
-                out["frame_no"].append(f)
+                out["frame_no"].append(fno)
                 out["pixels"].append(
-                    _fake_pixels((payload or b"") + f.to_bytes(4, "little"),
-                                 8, 8).reshape(-1).tolist())
+                    np.asarray(px, dtype=np.uint8).reshape(-1).tolist())
         return pa.Table.from_pydict({
             "media_id": pa.array(out["media_id"], type=pa.int64()),
             "frame_no": pa.array(out["frame_no"], type=pa.int32()),
-            "pixels": pa.array(out["pixels"], type=pa.list_(pa.uint8(), 192)),
+            "pixels": pa.array(out["pixels"],
+                               type=pa.list_(pa.uint8(), self.h * self.w * 3)),
         })
 
-    return ds.map_batches(_sample, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=concurrency)
+
+def sample_video_frames(ds, every_nth: int = 10, concurrency: int = 2,
+                        batch_size: int = 16, height: int = 8, width: int = 8,
+                        extractor=None):
+    return ds.map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs={"every_nth": every_nth, "height": height,
+                               "width": width, "extractor": extractor},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)

@@ -44,7 +44,7 @@ def _canon(df):
 NEW_QUERIES = ["semi_join", "anti_join", "range_join", "rollup",
                "pivot_wide", "kg_triples", "stratified_sample", "top_ngrams",
                "ann_topk_ivf_full", "window_sliding", "bloom_join",
-               "regex_extract", "audio_features"]
+               "regex_extract", "audio_features", "video_frames"]
 
 
 @pytest.mark.parametrize("name", NEW_QUERIES)
