@@ -756,6 +756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_count": wrap(Q.q_distinct_count),
         "quantiles": wrap(Q.q_quantiles),
         "sessionize": wrap(Q.q_sessionize),
+        "window_analytics": wrap(Q.q_window_analytics),
         "semi_join": wrap(Q.q_semi_join),
         "anti_join": wrap(Q.q_anti_join),
         "range_join": wrap(Q.q_range_join),
@@ -1010,6 +1011,18 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS t_start, max(ts) AS t_end
             FROM s GROUP BY user_id, session_id
             ORDER BY user_id, session_id""",
+        # running sum in integer CENTS (floor(value*100)): a float64
+        # cumulative sum's low bits depend on accumulation order, which
+        # would hash-diverge between engines on equal math
+        "window_analytics": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(floor(value * 100) AS BIGINT)) OVER w
+                        AS BIGINT) AS running_cents,
+                   LAG(value) OVER w AS prev_value,
+                   CAST(row_number() OVER w AS BIGINT) AS row_no
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY event_id""",
         "ngram_jaccard_exact": """
             WITH toks AS (
               SELECT doc_id,

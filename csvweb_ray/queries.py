@@ -458,6 +458,55 @@ def q_sessionize(sf_dir: str, gap_minutes: int = 30,
 
 
 # ---------------------------------------------------------------------------
+# windowed analytics: per-key running sum / lag / row_number
+
+def q_window_analytics(sf_dir: str, num_buckets: int | None = None):
+    """Per-user windowed analytics in ONE pass: running sum, previous
+    value (lag 1) and row number, each over ``PARTITION BY user_id ORDER
+    BY ts, event_id``.  Same partitioning as ``q_sessionize``: users hash
+    into ``auto_num_buckets`` buckets (one shuffle, one pandas call per
+    BUCKET), then fully vectorized in-bucket ``groupby`` cumsum / shift /
+    cumcount — no per-user Python, no per-row loops.
+
+    The running sum accumulates integer CENTS (``floor(value * 100)``) so
+    the result is exact and association-order-free — a float64 cumsum's
+    low bits depend on the engine's accumulation order, which would make
+    an otherwise-correct result hash-diverge from the SQL oracle.  Skew:
+    a hot user lower-bounds its bucket (see ``auto_num_buckets``); all
+    three analytics are O(rows) per bucket after the in-bucket sort."""
+    ds = T(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    if num_buckets is None:
+        num_buckets = auto_num_buckets(ds.count())
+
+    def _bucket(b: pa.Table) -> pa.Table:
+        bucket = pc.cast(pc.bit_wise_and(pc.cast(b["user_id"], pa.int64()),
+                                         pa.scalar(num_buckets - 1)), pa.int32())
+        return b.append_column("bucket", bucket)
+
+    def _analytics(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        cents = np.floor(g.value.to_numpy() * 100.0).astype("int64")
+        uid = g.user_id.to_numpy()
+        grp = g.groupby("user_id", sort=False)
+        g["running_cents"] = pd.Series(cents, index=g.index).groupby(
+            uid).cumsum().astype("int64")
+        g["prev_value"] = grp["value"].shift()
+        g["row_no"] = (grp.cumcount() + 1).astype("int64")
+        return g[["event_id", "user_id", "running_cents", "prev_value",
+                  "row_no"]]
+
+    out = (ds.map_batches(_bucket, batch_format="pyarrow")
+           .groupby("bucket").map_groups(_analytics, batch_format="pandas"))
+    df = out.to_pandas().sort_values("event_id").reset_index(drop=True)
+    for c, t in (("event_id", "int64"), ("user_id", "int64"),
+                 ("running_cents", "int64"), ("prev_value", "float64"),
+                 ("row_no", "int64")):
+        if str(df[c].dtype) != t:
+            df[c] = df[c].astype(t)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
 # semi / anti join via distinct-key broadcast
 
 def q_semi_join(sf_dir: str):

@@ -44,7 +44,8 @@ def _canon(df):
 NEW_QUERIES = ["semi_join", "anti_join", "range_join", "rollup",
                "pivot_wide", "kg_triples", "stratified_sample", "top_ngrams",
                "ann_topk_ivf_full", "window_sliding", "bloom_join",
-               "regex_extract", "audio_features", "video_frames"]
+               "regex_extract", "audio_features", "video_frames",
+               "window_analytics"]
 
 
 @pytest.mark.parametrize("name", NEW_QUERIES)
@@ -67,8 +68,18 @@ def test_query_matches_oracle(ray_session, duck, name):
             f"{oracle[c].dtype} — values may compare equal but the driver "
             f"value-hash will diverge")
         a, b = mine[c].tolist(), oracle[c].tolist()
-        assert a == b, f"{name}.{c}: first diff at " + str(next(
-            (i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x != y))
+
+        def _eq(x, y):
+            # NaN/None compare equal to themselves (LAG's first-row NULL):
+            # the driver's value-hash sees identical bytes for them
+            if x is None or y is None or (isinstance(x, float) and x != x):
+                return (x is None or x != x) and (y is None or y != y)
+            return x == y
+
+        assert all(_eq(x, y) for x, y in zip(a, b)), (
+            f"{name}.{c}: first diff at " + str(next(
+                (i, x, y) for i, (x, y) in enumerate(zip(a, b))
+                if not _eq(x, y))))
 
 
 def test_range_join_nonzero(ray_session, duck):
