@@ -400,19 +400,26 @@ def q_distinct_count(sf_dir: str):
 # exact quantiles per group
 
 def q_quantiles(sf_dir: str):
-    """p50/p95 of extended price per return flag — exact, linear
-    interpolation on the sorted group (3 groups; vectorized np.percentile
-    inside map_groups)."""
+    """p50/p95 of extended price per return flag — EXACT (linear
+    interpolation, the np.percentile / quantile_cont convention), computed
+    by distributed iterative histogram refinement
+    (`ops.selection.exact_group_quantiles`): no group is ever materialized
+    in one task, every pass is a bounded combiner, and the round count is
+    ceil(log_bins(n / gather_threshold)) — the scale path that replaced the
+    original map_groups full-group materialization."""
+    from csvweb_ray.ops.selection import exact_group_quantiles
+
     ds = T(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
-
-    def _q(g: pd.DataFrame) -> pd.DataFrame:
-        p50, p95 = np.percentile(g.l_extendedprice, [50, 95])
-        return pd.DataFrame({"l_returnflag": [g.l_returnflag.iloc[0]],
-                             "p50": [round(p50, 4)], "p95": [round(p95, 4)]})
-
-    out = ds.groupby("l_returnflag").map_groups(_q, batch_format="pandas")
-    return pa.Table.from_pandas(out.to_pandas().sort_values("l_returnflag"),
-                                preserve_index=False)
+    long = exact_group_quantiles(ds, "l_returnflag", "l_extendedprice",
+                                 qs=(0.5, 0.95)).to_pandas()
+    wide = (long.pivot(index="l_returnflag", columns="q", values="value")
+            .reset_index())
+    df = pd.DataFrame({
+        "l_returnflag": wide["l_returnflag"].astype(str),
+        "p50": wide[0.5].round(4).astype("float64"),
+        "p95": wide[0.95].round(4).astype("float64"),
+    }).sort_values("l_returnflag")
+    return pa.Table.from_pandas(df, preserve_index=False)
 
 
 # ---------------------------------------------------------------------------
