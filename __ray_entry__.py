@@ -733,6 +733,68 @@ def _q_video_frames(sf_dir: str):
             .sort(["doc_id", "frame_no"]).to_pandas())
 
 
+def _q_image_decode(sf_dir: str):
+    """Multimodal image path driven end-to-end with REAL baseline JPEG
+    payloads and a real SQL oracle: each document gets a solid
+    quality-100 JPEG at gray level ``(doc_id * 37) % 256`` — grayscale or
+    RGB, 4:4:4 / 4:2:2 / 4:2:0, with and without restart markers, varied
+    per doc — and the distributed ``ImageDecoder`` actor pool decodes it
+    through the pure-stdlib codec (``csvweb_ray.ops.jpeg``).  At q=100
+    the quantization tables are all ones and a solid image is DC-only,
+    so the decode is EXACT: the hash match certifies huffman decode,
+    dequantization, IDCT, chroma upsampling and the YCbCr→RGB math, not
+    just row plumbing."""
+    _cfg()
+    import numpy as _np
+    import pyarrow as pa
+
+    from csvweb_ray.ops.jpeg import encode_jpeg
+    from csvweb_ray.ops.multimodal import decode_images
+    from csvweb_ray.queries import T
+
+    subs = ["444", "422", "420"]
+
+    def _to_media(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        payloads = []
+        for did in ids:
+            did = int(did)
+            lv = (did * 37) % 256
+            img = _np.full((16, 16), lv, _np.uint8) if did % 2 \
+                else _np.full((16, 16, 3), lv, _np.uint8)
+            payloads.append(encode_jpeg(img, quality=100,
+                                        subsampling=subs[did % 3],
+                                        restart_interval=did % 3))
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "kind": pa.array(["image"] * len(ids), type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(["image/jpeg"] * len(ids), type=pa.string()),
+            "meta": pa.array(["{}"] * len(ids), type=pa.string()),
+        })
+
+    media = (T(sf_dir, "documents", columns=["doc_id"])
+             .map_batches(_to_media, batch_format="pyarrow"))
+    pixels = decode_images(media, height=8, width=8, concurrency=2)
+
+    def _gray(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "gray": pa.array([], type=pa.int64())})
+        m = _np.asarray(b["pixels"].to_pylist(), dtype=_np.uint8)
+        # solid image ⇒ every decoded pixel equals the planted level;
+        # assert so a decode bug can't hide behind a lucky first pixel
+        if not (m.min(axis=1) == m.max(axis=1)).all():
+            raise AssertionError("non-solid decoded image")
+        return pa.table({
+            "doc_id": b["media_id"],
+            "gray": pa.array(m[:, 0].astype("int64")),
+        })
+
+    return (pixels.map_batches(_gray, batch_format="pyarrow")
+            .sort("doc_id").to_pandas())
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from csvweb_ray import queries as Q
 
@@ -795,6 +857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_stub": _q_multimodal_stub,
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
+        "image_decode": _q_image_decode,
     }
 
 
@@ -1190,6 +1253,14 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (SELECT unnest(range(0, 7)) AS f) t
             WHERE t.f <= d.doc_id % 7
             ORDER BY d.doc_id, t.f""",
+        # The engine recovers each solid JPEG's gray level through a real
+        # baseline decode (huffman, dequant, IDCT, chroma upsampling,
+        # YCbCr->RGB); the planted level is a pure function of doc_id and
+        # the q=100 decode is exact by construction (all-ones quant
+        # tables, DC-only solid blocks).
+        "image_decode": """
+            SELECT doc_id, CAST(doc_id * 37 % 256 AS BIGINT) AS gray
+            FROM documents ORDER BY doc_id""",
     }
     # IVF with nprobe == num_centroids is exact brute force: same oracle
     sqls["ann_topk_ivf_full"] = sqls["ann_topk"]

@@ -52,7 +52,7 @@ BENCH_QUERIES = [
     "semi_join", "range_join", "rollup", "pivot_wide", "ann_topk_ivf",
     # round-5 additions: real WAV decode + FFT filter bank, and real Y4M
     # frame extraction, through the multimodal actor pools (new keys only)
-    "audio_features", "video_frames", "window_analytics",
+    "audio_features", "video_frames", "window_analytics", "image_decode",
 ]
 
 

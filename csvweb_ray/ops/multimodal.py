@@ -3,7 +3,9 @@ columns with typed metadata.
 
 The IMAGE path decodes for real: PNG payloads go through the pure-stdlib
 codec in ``ops.png`` (zlib inflate + numpy filter reconstruction,
-pixel-exact-tested in ``tests/test_png.py``), with PIL picked up
+pixel-exact-tested in ``tests/test_png.py``), baseline JPEG payloads
+through ``ops.jpeg`` (huffman + DCT from the T.81 spec, round-trip- and
+planted-oracle-tested in ``tests/test_jpeg.py``), with PIL picked up
 automatically when importable for every other format.  The AUDIO path
 featurizes for real too: PCM WAV payloads go through ``ops.wav`` (RIFF
 parse + rfft filter-bank energies, sample-exact round-trip tested in
@@ -69,8 +71,10 @@ class ImageDecoder:
     picked up automatically when importable).  Without PIL, PNG payloads
     decode for REAL through the pure-stdlib codec (``ops.png``: chunk
     walk + zlib inflate + numpy filter reconstruction, pixel-exact
-    pytest oracle); other formats fall back to the deterministic fake
-    (``strict=True`` raises instead of faking).
+    pytest oracle) and baseline JPEG payloads through ``ops.jpeg``
+    (huffman + DCT per ITU-T T.81, planted-oracle-tested); other formats
+    fall back to the deterministic fake (``strict=True`` raises instead
+    of faking).
     """
 
     def __init__(self, height: int = 32, width: int = 32, strict: bool = False,
@@ -88,15 +92,18 @@ class ImageDecoder:
     def _decode_one(self, payload: bytes) -> np.ndarray:
         if self.decoder is not None:
             return self.decoder(payload, self.h, self.w)
+        from .jpeg import is_jpeg, stdlib_jpeg_decoder
         from .png import is_png, stdlib_png_decoder
 
         if is_png(payload):
             return stdlib_png_decoder(payload, self.h, self.w)
+        if is_jpeg(payload):
+            return stdlib_jpeg_decoder(payload, self.h, self.w)
         if self.strict:
             raise NotImplementedError(
-                "non-PNG image decoding requires PIL/opencv (none importable "
-                "and no decoder injected); run with strict=False for the "
-                "deterministic stub")
+                "non-PNG/JPEG image decoding requires PIL/opencv (none "
+                "importable and no decoder injected); run with strict=False "
+                "for the deterministic stub")
         return _fake_pixels(payload, self.h, self.w)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
