@@ -817,6 +817,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_group": wrap(Q.q_topk_per_group),
         "distinct_count": wrap(Q.q_distinct_count),
         "quantiles": wrap(Q.q_quantiles),
+        "quartile_stats": wrap(Q.q_quartile_stats),
+        "set_ops": wrap(Q.q_set_ops),
         "sessionize": wrap(Q.q_sessionize),
         "window_analytics": wrap(Q.q_window_analytics),
         "semi_join": wrap(Q.q_semi_join),
@@ -1057,6 +1059,41 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
                    round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+        # value-based quartile bucketing against exact quantile_cont
+        # thresholds (deterministic under any row order, unlike NTILE's
+        # positional tie-splitting); BIGINT casts for dtype parity
+        "quartile_stats": """
+            WITH t AS (
+                SELECT l_returnflag,
+                       quantile_cont(l_extendedprice, 0.25) AS q1,
+                       quantile_cont(l_extendedprice, 0.50) AS q2,
+                       quantile_cont(l_extendedprice, 0.75) AS q3
+                FROM lineitem GROUP BY l_returnflag)
+            SELECT l.l_returnflag,
+                   CAST(CASE WHEN l_extendedprice <= q1 THEN 1
+                             WHEN l_extendedprice <= q2 THEN 2
+                             WHEN l_extendedprice <= q3 THEN 3
+                             ELSE 4 END AS BIGINT) AS quartile,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(l_extendedprice), 4) AS sum_price
+            FROM lineitem l JOIN t USING (l_returnflag)
+            GROUP BY 1, 2 ORDER BY 1, 2""",
+        # INTERSECT / EXCEPT on user sets as one flag aggregation
+        "set_ops": """
+            WITH f AS (
+                SELECT user_id,
+                       max(CASE WHEN event_type = 'click'
+                                THEN 1 ELSE 0 END) AS has_c,
+                       max(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS has_p
+                FROM events
+                WHERE event_type IN ('click', 'purchase')
+                GROUP BY user_id)
+            SELECT user_id,
+                   CASE WHEN has_c = 1 AND has_p = 1 THEN 'both'
+                        WHEN has_c = 1 THEN 'click_only'
+                        ELSE 'purchase_only' END AS segment
+            FROM f ORDER BY user_id""",
         "sessionize": """
             WITH d AS (
                 SELECT user_id, event_id, ts,

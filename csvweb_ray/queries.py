@@ -889,3 +889,92 @@ def q_regex_extract(sf_dir: str):
     df["sum_k"] = df["sum_k"].astype("int64")
     return pa.Table.from_pandas(df[["event_type", "n_high", "sum_k"]],
                                 preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# set operations (INTERSECT / EXCEPT re-expressed as one flag aggregation)
+
+def q_set_ops(sf_dir: str):
+    """Which users clicked, purchased, or both — SQL ``INTERSECT`` /
+    ``EXCEPT`` on user sets, re-expressed so BOTH set operators come out
+    of ONE pass over events: a per-batch distinct-flag combiner, then a
+    single ``groupby(user_id)`` Max-flag aggregate (the only shuffle,
+    and its row count is bounded by distinct flagged users, not events),
+    then vectorized classification.  At 100 TB this beats two distinct
+    pipelines + an anti join by a full exchange."""
+    from ray.data.aggregate import Max
+
+    ds = T(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def _flags(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df[df.event_type.isin(["click", "purchase"])]
+        df["is_click"] = (df.event_type == "click").astype("int64")
+        df["is_purchase"] = (df.event_type == "purchase").astype("int64")
+        g = (df.groupby("user_id", as_index=False)
+             [["is_click", "is_purchase"]].max())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(_flags, batch_format="pyarrow")
+           .groupby("user_id")
+           .aggregate(Max("is_click", alias_name="has_click"),
+                      Max("is_purchase", alias_name="has_purchase")))
+    df = agg.to_pandas()
+    both = df.has_click.astype(bool) & df.has_purchase.astype(bool)
+    seg = np.where(both, "both",
+                   np.where(df.has_click.astype(bool), "click_only",
+                            "purchase_only"))
+    out = pd.DataFrame({"user_id": df.user_id.astype("int64"),
+                        "segment": seg.astype(object)})
+    return pa.Table.from_pandas(out.sort_values("user_id"),
+                                preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# quartile bucketing via exact distributed quantile thresholds (G31 composed)
+
+def q_quartile_stats(sf_dir: str):
+    """Per-group quartile buckets of extended price with count and sum —
+    thresholds from `ops.selection.exact_group_quantiles` (EXACT, no
+    group materialization), then ONE vectorized classify + combine pass
+    and a tiny grouped aggregate.  Value-based bucketing (ties share a
+    bucket) so the SQL twin is a deterministic CASE over
+    ``quantile_cont`` thresholds — not positional NTILE, whose
+    tie-splitting is row-order-dependent and unreproducible under
+    distributed row order."""
+    from ray.data.aggregate import Sum
+
+    from csvweb_ray.ops.selection import exact_group_quantiles
+
+    ds = T(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    qt = exact_group_quantiles(ds, "l_returnflag", "l_extendedprice",
+                               qs=(0.25, 0.5, 0.75)).to_pandas()
+    thr = {g: sub.sort_values("q")["value"].to_numpy()
+           for g, sub in qt.groupby("l_returnflag")}
+
+    def _classify(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        v = df.l_extendedprice.to_numpy()
+        g = df.l_returnflag.to_numpy()
+        quart = np.ones(len(df), np.int64)
+        for grp, t in thr.items():
+            m = g == grp
+            # bucket = 1 + #(thresholds < v): v == threshold stays below
+            quart[m] = 1 + np.searchsorted(t, v[m], side="left").clip(0, 3)
+        part = (pd.DataFrame({"l_returnflag": g, "quartile": quart,
+                              "n": 1, "sum_price": v})
+                .groupby(["l_returnflag", "quartile"], as_index=False)
+                .agg(n=("n", "sum"), sum_price=("sum_price", "sum")))
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    out = (ds.map_batches(_classify, batch_format="pyarrow")
+           .groupby(["l_returnflag", "quartile"])
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sum_price", alias_name="sum_price")))
+    df = out.to_pandas().sort_values(["l_returnflag", "quartile"])
+    df["n"] = df["n"].astype("int64")
+    df["quartile"] = df["quartile"].astype("int64")
+    df["sum_price"] = df["sum_price"].round(4).astype("float64")
+    return pa.Table.from_pandas(
+        df[["l_returnflag", "quartile", "n", "sum_price"]].reset_index(
+            drop=True), preserve_index=False)

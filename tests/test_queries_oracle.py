@@ -45,7 +45,8 @@ NEW_QUERIES = ["semi_join", "anti_join", "range_join", "rollup",
                "pivot_wide", "kg_triples", "stratified_sample", "top_ngrams",
                "ann_topk_ivf_full", "window_sliding", "bloom_join",
                "regex_extract", "audio_features", "video_frames",
-               "window_analytics"]
+               "window_analytics", "image_decode", "set_ops",
+               "quartile_stats"]
 
 
 @pytest.mark.parametrize("name", NEW_QUERIES)
