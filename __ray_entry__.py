@@ -819,6 +819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles": wrap(Q.q_quantiles),
         "quartile_stats": wrap(Q.q_quartile_stats),
         "set_ops": wrap(Q.q_set_ops),
+        "editdist_join": wrap(Q.q_editdist_join),
         "sessionize": wrap(Q.q_sessionize),
         "window_analytics": wrap(Q.q_window_analytics),
         "semi_join": wrap(Q.q_semi_join),
@@ -1078,6 +1079,18 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice), 4) AS sum_price
             FROM lineitem l JOIN t USING (l_returnflag)
             GROUP BY 1, 2 ORDER BY 1, 2""",
+        # edit-distance<=1 similarity join on the 12-char text prefix:
+        # the engine's deletion-neighborhood join must reproduce the
+        # O(n^2) levenshtein join exactly (candidates are verified, so
+        # the signature scheme can only add bandwidth, never pairs)
+        "editdist_join": """
+            WITH k AS (SELECT doc_id, lower(substr(text, 1, 12)) AS key
+                       FROM documents WHERE text IS NOT NULL)
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+            FROM k a JOIN k b
+              ON a.doc_id < b.doc_id AND levenshtein(a.key, b.key) <= 1
+            ORDER BY a, b""",
         # INTERSECT / EXCEPT on user sets as one flag aggregation
         "set_ops": """
             WITH f AS (

@@ -1009,3 +1009,105 @@ def dedup_keep_ids(all_ids, pairs: list[tuple]) -> set:
     """Keep-set after near-dup clustering: cluster root (min id) survives."""
     roots = cluster_pairs(pairs)
     return {i for i in all_ids if roots.get(i, i) == i}
+
+
+# ---------------------------------------------------------------------------
+# edit-distance string-similarity join (deletion neighborhoods / FastSS k=1)
+
+
+def _ed_le1(a: str, b: str) -> int:
+    """Exact edit distance when ≤ 1, else 2 (the verifier only needs to
+    accept/reject, so the general DP is unnecessary)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return 2
+    if la == lb:
+        d = sum(x != y for x, y in zip(a, b))
+        return d if d <= 1 else 2
+    if la > lb:
+        a, b, la = b, a, lb
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return 1 if a[i:] == b[i + 1:] else 2
+
+
+def edit_distance_pairs(ds, col: str = "text", id_col: str = "doc_id",
+                        key_len: int = 12, group_cap: int = 4096):
+    """Distributed edit-distance-≤1 similarity join on a derived string
+    key (``lower(text[:key_len])``) via deletion neighborhoods — the
+    FastSS construction at k=1, the classic scalable alternative to the
+    O(n²) all-pairs levenshtein join.
+
+    Signature set of key ``s`` = {s} ∪ {s with char i deleted}: any two
+    keys at edit distance ≤ 1 share a signature (equal keys share ``s``;
+    a substitution at i shares the i-deletion; an insertion/deletion
+    shares the shorter key itself).  One flat-map pass emits
+    ``len(s)+1`` hashed signatures per doc, ONE ``groupby(sig)`` shuffle
+    co-locates candidates, pairs are verified in-group with the exact
+    ≤1 check (false candidates cost bandwidth, never correctness), and
+    a final pair-key groupby dedups pairs that share several signatures.
+    Output: ``(a, b, dist)`` with a < b, exactly the pairs SQL's
+    ``levenshtein(ka, kb) <= 1`` join produces (the DuckDB oracle twin).
+
+    Rows with NULL ``col`` are excluded (SQL's levenshtein(NULL, x)
+    join-condition semantics).  ``group_cap`` bounds one signature
+    group's pair expansion: a group of m IDENTICAL keys legitimately
+    owns m(m-1)/2 output pairs, so a mega-cluster of equal keys blows
+    the output itself, not just the task — the op raises loudly at the
+    cap instead of silently truncating; route equal-key mass through
+    ``exact_dedup`` first and ED-join the survivors."""
+    import pandas as pd
+
+    from pandas.util import hash_array
+
+    def _sigs(b: pa.Table) -> pa.Table:
+        tbl = b.select([id_col, col]).drop_null()
+        ids = tbl[id_col].to_pylist()
+        texts = tbl[col].to_pylist()
+        out_id, out_key, variants = [], [], []
+        for did, text in zip(ids, texts):
+            key = text[:key_len].lower()
+            vs = [key] + [key[:i] + key[i + 1:] for i in range(len(key))]
+            out_id.extend([did] * len(vs))
+            out_key.extend([key] * len(vs))
+            variants.extend(vs)
+        sig = hash_array(np.asarray(variants, dtype=object)).astype(np.int64) \
+            if variants else np.array([], dtype=np.int64)
+        return pa.table({
+            "sig": pa.array(sig, pa.int64()),
+            id_col: pa.array(out_id, pa.int64()),
+            "key": pa.array(out_key, pa.string())})
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64"),
+                              "dist": pd.Series([], dtype="int64")})
+        g = g.drop_duplicates(id_col).sort_values(id_col)
+        n = len(g)
+        if n < 2:
+            return empty
+        if n > group_cap:
+            raise ValueError(
+                f"signature group of {n} docs exceeds group_cap="
+                f"{group_cap}: an equal-key cluster this size owns "
+                "O(m^2) genuine pairs — exact_dedup the equal keys "
+                "first, or raise group_cap deliberately")
+        ids = g[id_col].to_numpy()
+        keys = g["key"].tolist()
+        rows = {"a": [], "b": [], "dist": []}
+        for i in range(n):
+            for j in range(i + 1, n):
+                d = _ed_le1(keys[i], keys[j])
+                if d <= 1:
+                    rows["a"].append(int(ids[i]))
+                    rows["b"].append(int(ids[j]))
+                    rows["dist"].append(d)
+        return pd.DataFrame(rows) if rows["a"] else empty
+
+    from ray.data.aggregate import Min
+
+    cand = (ds.map_batches(_sigs, batch_format="pyarrow")
+            .groupby("sig").map_groups(_pairs, batch_format="pandas"))
+    # a pair verified in several signature groups appears several times
+    return cand.groupby(["a", "b"]).aggregate(Min("dist", alias_name="dist"))

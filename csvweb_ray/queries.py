@@ -978,3 +978,22 @@ def q_quartile_stats(sf_dir: str):
     return pa.Table.from_pandas(
         df[["l_returnflag", "quartile", "n", "sum_price"]].reset_index(
             drop=True), preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# edit-distance similarity join (deletion neighborhoods, G34)
+
+def q_editdist_join(sf_dir: str):
+    """All document pairs whose 12-char lowercased text prefix is within
+    edit distance 1 — `ops.dedup.edit_distance_pairs` (FastSS deletion
+    neighborhoods: one flat-map signature pass, one groupby(sig)
+    shuffle, in-group exact verification, pair-key dedup) against the
+    O(n²) DuckDB `levenshtein` join oracle."""
+    from csvweb_ray.ops.dedup import edit_distance_pairs
+
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = edit_distance_pairs(ds, col="text", id_col="doc_id", key_len=12)
+    df = pairs.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    for c in ("a", "b", "dist"):
+        df[c] = df[c].astype("int64")
+    return pa.Table.from_pandas(df[["a", "b", "dist"]], preserve_index=False)

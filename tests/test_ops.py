@@ -623,3 +623,66 @@ def test_sketch_shard_key_varies_across_batches():
                                     minlength=64), 64)
               for _ in range(20)}
     assert len(shards) > 4
+
+
+def test_ed_le1_verifier_exhaustive():
+    from csvweb_ray.ops.dedup import _ed_le1
+
+    # brute-force cross-check against a reference DP on short strings
+    def ref(a, b):
+        la, lb = len(a), len(b)
+        dp = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, lb + 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (a[i - 1] != b[j - 1]))
+        return dp[lb]
+
+    import itertools
+    alpha = "abc"
+    strs = [""] + ["".join(p) for n in (1, 2, 3)
+                   for p in itertools.product(alpha, repeat=n)]
+    for a in strs:
+        for b in strs:
+            want = ref(a, b)
+            got = _ed_le1(a, b)
+            assert (got <= 1) == (want <= 1), (a, b, got, want)
+            if want <= 1:
+                assert got == want, (a, b)
+
+
+def test_edit_distance_pairs_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from csvweb_ray.ops.dedup import _ed_le1, edit_distance_pairs
+
+    # equal keys, substitutions, insertions/deletions at every position,
+    # near-misses at distance 2, and a NULL row (must be excluded)
+    texts = ["sort table", "sort table", "sort tible", "sorttable",
+             "sort ttable", "xort table", "sort tablex", "ort table",
+             "zzzz totally different", "sort tixle", None, "s",
+             "", "a", "b", "ab"]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(5)
+    got = edit_distance_pairs(ds, key_len=12).to_pandas()
+    got_pairs = {(int(r.a), int(r.b)): int(r.dist)
+                 for r in got.itertuples()}
+
+    keys = {i: t[:12].lower() for i, t in enumerate(texts) if t is not None}
+    want = {(i, j): _ed_le1(keys[i], keys[j])
+            for i in keys for j in keys if i < j
+            and _ed_le1(keys[i], keys[j]) <= 1}
+    assert got_pairs == want
+
+
+def test_edit_distance_pairs_group_cap_raises(ray_session):
+    import pytest as _pytest
+    import ray.data as rd
+
+    from csvweb_ray.ops.dedup import edit_distance_pairs
+
+    rows = [{"doc_id": i, "text": "same key everywhere"} for i in range(40)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    with _pytest.raises(Exception, match="group_cap"):
+        edit_distance_pairs(ds, group_cap=8).to_pandas()
