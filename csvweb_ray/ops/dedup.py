@@ -1033,7 +1033,8 @@ def _ed_le1(a: str, b: str) -> int:
 
 
 def edit_distance_pairs(ds, col: str = "text", id_col: str = "doc_id",
-                        key_len: int = 12, group_cap: int = 4096):
+                        key_len: int = 12, group_cap: int = 4096,
+                        num_buckets: int = 64):
     """Distributed edit-distance-≤1 similarity join on a derived string
     key (``lower(text[:key_len])``) via deletion neighborhoods — the
     FastSS construction at k=1, the classic scalable alternative to the
@@ -1056,7 +1057,14 @@ def edit_distance_pairs(ds, col: str = "text", id_col: str = "doc_id",
     owns m(m-1)/2 output pairs, so a mega-cluster of equal keys blows
     the output itself, not just the task — the op raises loudly at the
     cap instead of silently truncating; route equal-key mass through
-    ``exact_dedup`` first and ED-join the survivors."""
+    ``exact_dedup`` first and ED-join the survivors.
+
+    Shuffle shape: signatures are hash-BUCKETED and the pair expansion
+    runs once per bucket, not once per signature (one signature = one
+    map_groups call would pay per-group pandas overhead ~13× the doc
+    count — the map_groups-cardinality trap); inside a bucket a
+    vectorized ``duplicated`` mask discards the (vast majority of)
+    collision-free signatures before any Python loop runs."""
     import pandas as pd
 
     from pandas.util import hash_array
@@ -1072,42 +1080,48 @@ def edit_distance_pairs(ds, col: str = "text", id_col: str = "doc_id",
             out_id.extend([did] * len(vs))
             out_key.extend([key] * len(vs))
             variants.extend(vs)
-        sig = hash_array(np.asarray(variants, dtype=object)).astype(np.int64) \
-            if variants else np.array([], dtype=np.int64)
+        sig_u = hash_array(np.asarray(variants, dtype=object)) \
+            .astype(np.uint64) if variants else np.array([], dtype=np.uint64)
         return pa.table({
-            "sig": pa.array(sig, pa.int64()),
+            "bucket": pa.array((sig_u & np.uint64(num_buckets - 1))
+                               .astype(np.int32), pa.int32()),
+            "sig": pa.array(sig_u.astype(np.int64), pa.int64()),
             id_col: pa.array(out_id, pa.int64()),
             "key": pa.array(out_key, pa.string())})
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
                               "b": pd.Series([], dtype="int64"),
                               "dist": pd.Series([], dtype="int64")})
-        g = g.drop_duplicates(id_col).sort_values(id_col)
-        n = len(g)
-        if n < 2:
+        g = g.drop_duplicates(["sig", id_col])
+        g = g[g.duplicated("sig", keep=False)]  # collided sigs only
+        if g.empty:
             return empty
-        if n > group_cap:
-            raise ValueError(
-                f"signature group of {n} docs exceeds group_cap="
-                f"{group_cap}: an equal-key cluster this size owns "
-                "O(m^2) genuine pairs — exact_dedup the equal keys "
-                "first, or raise group_cap deliberately")
-        ids = g[id_col].to_numpy()
-        keys = g["key"].tolist()
         rows = {"a": [], "b": [], "dist": []}
-        for i in range(n):
-            for j in range(i + 1, n):
-                d = _ed_le1(keys[i], keys[j])
-                if d <= 1:
-                    rows["a"].append(int(ids[i]))
-                    rows["b"].append(int(ids[j]))
-                    rows["dist"].append(d)
+        for _, sub in g.groupby("sig", sort=False):
+            n = len(sub)
+            if n > group_cap:
+                raise ValueError(
+                    f"signature group of {n} docs exceeds group_cap="
+                    f"{group_cap}: an equal-key cluster this size owns "
+                    "O(m^2) genuine pairs — exact_dedup the equal keys "
+                    "first, or raise group_cap deliberately")
+            sub = sub.sort_values(id_col)
+            ids = sub[id_col].to_numpy()
+            keys = sub["key"].tolist()
+            for i in range(n):
+                for j in range(i + 1, n):
+                    d = _ed_le1(keys[i], keys[j])
+                    if d <= 1:
+                        rows["a"].append(int(ids[i]))
+                        rows["b"].append(int(ids[j]))
+                        rows["dist"].append(d)
         return pd.DataFrame(rows) if rows["a"] else empty
 
     from ray.data.aggregate import Min
 
     cand = (ds.map_batches(_sigs, batch_format="pyarrow")
-            .groupby("sig").map_groups(_pairs, batch_format="pandas"))
+            .groupby("bucket").map_groups(_bucket_pairs,
+                                          batch_format="pandas"))
     # a pair verified in several signature groups appears several times
     return cand.groupby(["a", "b"]).aggregate(Min("dist", alias_name="dist"))
