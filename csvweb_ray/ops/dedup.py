@@ -1059,12 +1059,20 @@ def edit_distance_pairs(ds, col: str = "text", id_col: str = "doc_id",
     cap instead of silently truncating; route equal-key mass through
     ``exact_dedup`` first and ED-join the survivors.
 
-    Shuffle shape: signatures are hash-BUCKETED and the pair expansion
-    runs once per bucket, not once per signature (one signature = one
-    map_groups call would pay per-group pandas overhead ~13× the doc
-    count — the map_groups-cardinality trap); inside a bucket a
-    vectorized ``duplicated`` mask discards the (vast majority of)
-    collision-free signatures before any Python loop runs."""
+    Shuffle shape: ONE exchange total.  Signatures are hash-BUCKETED and
+    the pair expansion runs once per bucket, not once per signature (one
+    signature = one map_groups call would pay per-group pandas overhead
+    ~13× the doc count — the map_groups-cardinality trap); inside a
+    bucket a vectorized ``duplicated`` mask discards the (vast majority
+    of) collision-free signatures before any Python loop runs.  Pair
+    dedup needs NO second shuffle: an unequal-key pair at distance 1
+    shares exactly ONE variant string (equal-length pairs share only the
+    deletion at the substituted position; length±1 pairs share only the
+    shorter key — repeated-char deletions that produce the same string
+    are the same string, i.e. the same group), so it is emitted by
+    exactly one signature group; equal-key pairs co-occur in all
+    ``len(key)+1`` groups and are emitted only from the full-key group,
+    marked by variant tag 0."""
     import pandas as pd
 
     from pandas.util import hash_array
@@ -1073,12 +1081,13 @@ def edit_distance_pairs(ds, col: str = "text", id_col: str = "doc_id",
         tbl = b.select([id_col, col]).drop_null()
         ids = tbl[id_col].to_pylist()
         texts = tbl[col].to_pylist()
-        out_id, out_key, variants = [], [], []
+        out_id, out_key, out_tag, variants = [], [], [], []
         for did, text in zip(ids, texts):
             key = text[:key_len].lower()
             vs = [key] + [key[:i] + key[i + 1:] for i in range(len(key))]
             out_id.extend([did] * len(vs))
             out_key.extend([key] * len(vs))
+            out_tag.extend(range(len(vs)))
             variants.extend(vs)
         sig_u = hash_array(np.asarray(variants, dtype=object)) \
             .astype(np.uint64) if variants else np.array([], dtype=np.uint64)
@@ -1087,13 +1096,17 @@ def edit_distance_pairs(ds, col: str = "text", id_col: str = "doc_id",
                                .astype(np.int32), pa.int32()),
             "sig": pa.array(sig_u.astype(np.int64), pa.int64()),
             id_col: pa.array(out_id, pa.int64()),
-            "key": pa.array(out_key, pa.string())})
+            "key": pa.array(out_key, pa.string()),
+            "tag": pa.array(out_tag, pa.int8())})
 
     def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
                               "b": pd.Series([], dtype="int64"),
                               "dist": pd.Series([], dtype="int64")})
-        g = g.drop_duplicates(["sig", id_col])
+        # within one signature a doc may appear under several tags (a
+        # repeated char deleted at different positions is the same
+        # string); keep the min tag so tag 0 survives when present
+        g = g.sort_values("tag").drop_duplicates(["sig", id_col])
         g = g[g.duplicated("sig", keep=False)]  # collided sigs only
         if g.empty:
             return empty
@@ -1109,19 +1122,24 @@ def edit_distance_pairs(ds, col: str = "text", id_col: str = "doc_id",
             sub = sub.sort_values(id_col)
             ids = sub[id_col].to_numpy()
             keys = sub["key"].tolist()
+            tags = sub["tag"].to_numpy()
             for i in range(n):
                 for j in range(i + 1, n):
+                    if keys[i] == keys[j]:
+                        # equal keys collide in every variant group:
+                        # emit only from the full-key group (tag 0)
+                        if tags[i] == 0 and tags[j] == 0:
+                            rows["a"].append(int(ids[i]))
+                            rows["b"].append(int(ids[j]))
+                            rows["dist"].append(0)
+                        continue
                     d = _ed_le1(keys[i], keys[j])
-                    if d <= 1:
+                    if d == 1:
                         rows["a"].append(int(ids[i]))
                         rows["b"].append(int(ids[j]))
-                        rows["dist"].append(d)
+                        rows["dist"].append(1)
         return pd.DataFrame(rows) if rows["a"] else empty
 
-    from ray.data.aggregate import Min
-
-    cand = (ds.map_batches(_sigs, batch_format="pyarrow")
+    return (ds.map_batches(_sigs, batch_format="pyarrow")
             .groupby("bucket").map_groups(_bucket_pairs,
                                           batch_format="pandas"))
-    # a pair verified in several signature groups appears several times
-    return cand.groupby(["a", "b"]).aggregate(Min("dist", alias_name="dist"))
