@@ -605,7 +605,7 @@ def _q_multimodal_stub(sf_dir: str):
 
     media = (T(sf_dir, "documents", columns=["doc_id", "text"])
              .map_batches(_to_media, batch_format="pyarrow"))
-    decoded = decode_images(media, height=8, width=8, concurrency=2)
+    decoded = decode_images(media, height=8, width=8, concurrency=(1, 4))
 
     def _checksum(b: pa.Table) -> pa.Table:
         sums = [int(sum(px)) for px in b["pixels"].to_pylist()]
@@ -655,7 +655,7 @@ def _q_audio_features(sf_dir: str):
 
     media = (T(sf_dir, "documents", columns=["doc_id"])
              .map_batches(_to_media, batch_format="pyarrow"))
-    feats = extract_audio_features(media, n_bands=16, concurrency=2)
+    feats = extract_audio_features(media, n_bands=16, concurrency=(1, 4))
 
     def _peak(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -711,7 +711,7 @@ def _q_video_frames(sf_dir: str):
 
     media = (T(sf_dir, "documents", columns=["doc_id"])
              .map_batches(_to_media, batch_format="pyarrow"))
-    frames = sample_video_frames(media, every_nth=1, concurrency=2)
+    frames = sample_video_frames(media, every_nth=1, concurrency=(1, 4))
 
     def _gray(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -775,7 +775,7 @@ def _q_image_decode(sf_dir: str):
 
     media = (T(sf_dir, "documents", columns=["doc_id"])
              .map_batches(_to_media, batch_format="pyarrow"))
-    pixels = decode_images(media, height=8, width=8, concurrency=2)
+    pixels = decode_images(media, height=8, width=8, concurrency=(1, 4))
 
     def _gray(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
