@@ -820,6 +820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quartile_stats": wrap(Q.q_quartile_stats),
         "set_ops": wrap(Q.q_set_ops),
         "editdist_join": wrap(Q.q_editdist_join),
+        "tfidf": wrap(Q.q_tfidf),
         "sessionize": wrap(Q.q_sessionize),
         "window_analytics": wrap(Q.q_window_analytics),
         "semi_join": wrap(Q.q_semi_join),
@@ -1091,6 +1092,30 @@ def oracle_sql() -> dict[str, str]:
             FROM k a JOIN k b
               ON a.doc_id < b.doc_id AND levenshtein(a.key, b.key) <= 1
             ORDER BY a, b""",
+        # TF-IDF top-5 terms per doc: tf * ln(N/df) rounded to 6dp,
+        # term tie-break -- deterministic under any row order (both
+        # engines tokenize with the same ASCII RE2-compatible pattern)
+        "tfidf": """
+            WITH tok2 AS (
+                SELECT doc_id, term FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(lower(text),
+                                                     '[^0-9a-z_]+')) AS term
+                    FROM documents WHERE text IS NOT NULL)
+                WHERE term <> ''),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM tok2 GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(DISTINCT doc_id) AS df
+                      FROM tok2 GROUP BY 1),
+            n AS (SELECT count(DISTINCT doc_id) AS n FROM tok2),
+            s AS (SELECT tf.doc_id, tf.term,
+                         round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df),
+                               6) AS score
+                  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+            r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, term) AS rn FROM s)
+            SELECT doc_id, term, score FROM r WHERE rn <= 5
+            ORDER BY doc_id, term""",
         # INTERSECT / EXCEPT on user sets as one flag aggregation
         "set_ops": """
             WITH f AS (

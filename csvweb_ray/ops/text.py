@@ -290,3 +290,89 @@ def top_ngrams(ds, n: int = 3, k: int = 20, col: str = "text"):
     out = (ds.map_batches(_partial, batch_format="pyarrow")
            .groupby("gram").aggregate(Sum("n", alias_name="n")))
     return out.sort(["n", "gram"], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document (distributed DF → broadcast IDF → local top-k)
+
+def tfidf_top_terms(ds, col: str = "text", id_col: str = "doc_id",
+                    top_k: int = 5, token_pattern: str = r"[0-9a-z_]+"):
+    """Top-``top_k`` TF-IDF terms per document: ``score = tf ·
+    ln(N / df)`` rounded to 6 dp, tie-broken by term — deterministic
+    under any row order, which is what makes the DuckDB window-function
+    twin value-exact.
+
+    Two bounded passes over the corpus:
+
+    1. document frequency — a per-batch DISTINCT-terms combiner (one row
+       per distinct term per batch leaves the batch, never one per
+       token) → ONE ``groupby(term)`` Sum.  ``N`` (docs with ≥1 token)
+       rides along as a reserved empty-string term — the token pattern
+       requires ≥1 char, so "" can never collide with a real term.
+    2. scoring — the idf table broadcasts once (``ray.put`` of an
+       index-keyed Series: the classic small side, vocabulary-bounded),
+       and each batch computes tf, maps idf with one vectorized
+       ``reindex``, and keeps its own docs' top-k — NO shuffle in this
+       pass, since a document's rows live inside one batch.
+
+    100-TB caveat: a web-scale vocabulary's hapax tail can outgrow a
+    broadcast; the scale remedy is a ``min_df`` floor on the idf table
+    or a bucketed term join for pass 2 — this implementation keeps the
+    exact (oracle-twinned) semantics.  The ASCII token pattern matches
+    RE2/DuckDB regex semantics so both engines tokenize identically."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    tok = re.compile(token_pattern)
+
+    def _df_partial(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        n_docs = 0
+        for text in b[col].to_pylist():
+            terms = set(tok.findall((text or "").lower()))
+            if terms:
+                n_docs += 1
+            counts.update(terms)
+        items = list(counts.items()) + [("", n_docs)]
+        return pa.table({
+            "term": pa.array([t for t, _ in items], pa.string()),
+            "df": pa.array([c for _, c in items], pa.int64())})
+
+    agg = (ds.map_batches(_df_partial, batch_format="pyarrow")
+           .groupby("term").aggregate(Sum("df", alias_name="df"))
+           .to_pandas())
+    n_docs = int(agg.loc[agg["term"] == "", "df"].iloc[0])
+    vocab = agg[agg["term"] != ""]
+    idf = pd.Series(np.log(n_docs / vocab["df"].to_numpy(dtype=np.float64)),
+                    index=vocab["term"].to_numpy())
+    idf_ref = ray.put(idf)
+
+    def _score(b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            "term": pa.array([], pa.string()),
+            "score": pa.array([], pa.float64())})
+        idf_s = ray.get(idf_ref)
+        docs, terms = [], []
+        for did, text in zip(b[id_col].to_pylist(), b[col].to_pylist()):
+            ts = tok.findall((text or "").lower())
+            docs.extend([did] * len(ts))
+            terms.extend(ts)
+        if not docs:
+            return empty
+        df = pd.DataFrame({id_col: docs, "term": terms})
+        tf = (df.groupby([id_col, "term"], sort=False).size()
+              .reset_index(name="tf"))
+        tf["score"] = np.round(
+            tf["tf"].to_numpy(dtype=np.float64)
+            * idf_s.reindex(tf["term"]).to_numpy(), 6)
+        tf = tf.sort_values([id_col, "score", "term"],
+                            ascending=[True, False, True])
+        top = tf.groupby(id_col, sort=False).head(top_k)
+        return pa.Table.from_pandas(top[[id_col, "term", "score"]],
+                                    preserve_index=False)
+
+    return ds.map_batches(_score, batch_format="pyarrow")

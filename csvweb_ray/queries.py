@@ -997,3 +997,23 @@ def q_editdist_join(sf_dir: str):
     for c in ("a", "b", "dist"):
         df[c] = df[c].astype("int64")
     return pa.Table.from_pandas(df[["a", "b", "dist"]], preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms (G35)
+
+def q_tfidf(sf_dir: str):
+    """Top-5 TF-IDF terms per document — `ops.text.tfidf_top_terms`
+    (distributed document-frequency combiner, one groupby(term), idf
+    broadcast once, shuffle-free per-batch top-k) against the DuckDB
+    window-function oracle.  score = tf·ln(N/df) rounded to 6 dp with a
+    term tie-break, deterministic under any distributed row order."""
+    from csvweb_ray.ops.text import tfidf_top_terms
+
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+    out = tfidf_top_terms(ds, top_k=5).to_pandas()
+    out = out.sort_values(["doc_id", "term"]).reset_index(drop=True)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    return pa.Table.from_pandas(out[["doc_id", "term", "score"]],
+                                preserve_index=False)
