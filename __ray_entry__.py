@@ -821,6 +821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_ops": wrap(Q.q_set_ops),
         "editdist_join": wrap(Q.q_editdist_join),
         "tfidf": wrap(Q.q_tfidf),
+        "sample_topk": wrap(Q.q_sample_topk),
         "sessionize": wrap(Q.q_sessionize),
         "window_analytics": wrap(Q.q_window_analytics),
         "semi_join": wrap(Q.q_semi_join),
@@ -1092,6 +1093,17 @@ def oracle_sql() -> dict[str, str]:
             FROM k a JOIN k b
               ON a.doc_id < b.doc_id AND levenshtein(a.key, b.key) <= 1
             ORDER BY a, b""",
+        # exact-k deterministic sample per language: the k smallest
+        # md5(salt|doc_id) digests, tie-broken by doc_id -- the engine's
+        # hash-order head must be bit-exact
+        "sample_topk": """
+            SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (PARTITION BY lang
+                           ORDER BY md5('s0|' || CAST(doc_id AS VARCHAR)),
+                                    doc_id) AS rn
+                FROM documents) WHERE rn <= 10
+            ORDER BY lang, rn, doc_id""",
         # TF-IDF top-5 terms per doc: tf * ln(N/df) rounded to 6dp,
         # term tie-break -- deterministic under any row order (both
         # engines tokenize with the same ASCII RE2-compatible pattern)

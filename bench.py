@@ -53,7 +53,7 @@ BENCH_QUERIES = [
     # round-5 additions: real WAV decode + FFT filter bank, and real Y4M
     # frame extraction, through the multimodal actor pools (new keys only)
     "audio_features", "video_frames", "window_analytics", "image_decode",
-    "set_ops", "quartile_stats", "editdist_join", "tfidf",
+    "set_ops", "quartile_stats", "editdist_join", "tfidf", "sample_topk",
 ]
 
 

@@ -1017,3 +1017,22 @@ def q_tfidf(sf_dir: str):
     out["score"] = out["score"].astype("float64")
     return pa.Table.from_pandas(out[["doc_id", "term", "score"]],
                                 preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# exact-k deterministic sampling per stratum (G36)
+
+def q_sample_topk(sf_dir: str):
+    """Exactly 10 docs per language, reproducibly — the hash-order head
+    (`ops.sampling.hash_topk_sample`): each batch forwards ≤k rows per
+    stratum, one tiny per-stratum merge; selection is a pure function of
+    (salt, doc_id set) so it is parallelism/resume-invariant and the
+    DuckDB row_number-over-md5 twin is bit-exact."""
+    from csvweb_ray.ops.sampling import hash_topk_sample
+
+    ds = T(sf_dir, "documents", columns=["doc_id", "lang"])
+    out = hash_topk_sample(ds, "doc_id", k=10, group_col="lang").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["rn"] = out["rn"].astype("int64")
+    return pa.Table.from_pandas(out[["lang", "rn", "doc_id"]],
+                                preserve_index=False)

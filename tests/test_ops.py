@@ -686,3 +686,27 @@ def test_edit_distance_pairs_group_cap_raises(ray_session):
     ds = rd.from_arrow(pa.Table.from_pylist(rows))
     with _pytest.raises(Exception, match="group_cap"):
         edit_distance_pairs(ds, group_cap=8).to_pandas()
+
+
+def test_hash_topk_sample_parallelism_invariant(ray_session):
+    import ray.data as rd
+
+    from csvweb_ray.ops.sampling import hash_topk_sample
+
+    rows = [{"doc_id": i, "lang": ["en", "de", "fr"][i % 3]}
+            for i in range(300)]
+    t = pa.Table.from_pylist(rows)
+    outs = []
+    for parts in (1, 7, 32):
+        ds = rd.from_arrow(t).repartition(parts)
+        outs.append(hash_topk_sample(ds, "doc_id", k=5,
+                                     group_col="lang").to_pandas())
+    assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])
+    assert (outs[0].groupby("lang").size() == 5).all()
+    # k larger than a stratum: returns the whole stratum, rn dense
+    ds = rd.from_arrow(pa.Table.from_pylist(rows[:4]))
+    small = hash_topk_sample(ds, "doc_id", k=99,
+                             group_col="lang").to_pandas()
+    assert len(small) == 4
+    assert sorted(small["rn"].tolist()) == sorted(
+        small.groupby("lang").cumcount().add(1).tolist())

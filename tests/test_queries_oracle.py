@@ -46,7 +46,7 @@ NEW_QUERIES = ["semi_join", "anti_join", "range_join", "rollup",
                "ann_topk_ivf_full", "window_sliding", "bloom_join",
                "regex_extract", "audio_features", "video_frames",
                "window_analytics", "image_decode", "set_ops",
-               "quartile_stats", "editdist_join", "tfidf"]
+               "quartile_stats", "editdist_join", "tfidf", "sample_topk"]
 
 
 @pytest.mark.parametrize("name", NEW_QUERIES)
