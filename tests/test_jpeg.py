@@ -159,3 +159,52 @@ def test_image_decoder_stage_routes_jpeg(ray_session):
     for i, lv in enumerate(levels):
         px = np.asarray(out["pixels"].iloc[i])
         assert px.min() == px.max() == lv, (i, lv, px.min(), px.max())
+
+
+# ---------------------------------------------------------------------------
+# fuzz: random images through every encoder configuration
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(data=st.data())
+def test_fuzz_roundtrip_bounded_error(data):
+    """Any uint8 image, any dims 1..40, any subsampling/restart/quality
+    ≥ 90 must decode to the right shape with bounded error.  Smooth
+    images bound tighter; pure noise at high quality stays within the
+    quantization-noise envelope (q=100 tables are all ones)."""
+    h = data.draw(st.integers(1, 40), label="h")
+    w = data.draw(st.integers(1, 40), label="w")
+    gray = data.draw(st.booleans(), label="gray")
+    sub = data.draw(st.sampled_from(["444", "422", "420"]), label="sub")
+    ri = data.draw(st.integers(0, 4), label="ri")
+    quality = data.draw(st.sampled_from([90, 95, 100]), label="q")
+    smooth = data.draw(st.booleans(), label="smooth")
+    seed = data.draw(st.integers(0, 2**31 - 1), label="seed")
+    rng = np.random.RandomState(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    if smooth:
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = np.clip(rng.randint(30, 220) + yy + xx, 0, 255)
+        img = (base if gray
+               else np.stack([base, np.clip(base + 10, 0, 255),
+                              np.clip(base - 10, 0, 255)], -1)) \
+            .astype(np.uint8)
+    else:
+        img = rng.randint(0, 256, shape, np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=quality, subsampling=sub,
+                                  restart_interval=ri))
+    assert out.shape == (h, w, 3)
+    ref = img if not gray else np.stack([img] * 3, -1)
+    err = np.abs(out.astype(int) - ref.astype(int))
+    if smooth and quality == 100 and (gray or sub == "444"):
+        assert err.max() <= 3, (h, w, sub, ri, err.max())
+    elif smooth:
+        assert err.max() <= 40 and err.mean() <= 6, (
+            h, w, sub, ri, quality, err.max(), err.mean())
+    # noise images: decode must simply be valid and roughly faithful
+    # at q=100 (quantization tables are all ones)
+    elif quality == 100 and (gray or sub == "444"):
+        assert err.max() <= 3, (h, w, sub, ri, err.max())
