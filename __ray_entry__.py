@@ -328,6 +328,25 @@ def _q_distinct_count_hll(sf_dir: str):
                         {"n_distinct_est": "int64"})
 
 
+def _q_distinct_count_hll_by(sf_dir: str):
+    """Per-group HyperLogLog distinct users per event type — the grouped
+    sketch twin of the exact `distinct_count` query (group-count-bounded
+    combiner, shard-merged registers; ~1.6% std error at p=12,
+    pytest-gated accuracy — rows-only driver check)."""
+    _cfg()
+    import pandas as pd
+
+    from csvweb_ray.ops.sketch import hll_distinct_by
+    from csvweb_ray.queries import T
+
+    out = hll_distinct_by(
+        T(sf_dir, "events", columns=["event_type", "user_id"]),
+        "event_type", "user_id", p=12).to_pandas()
+    out["n_distinct_est"] = out["n_distinct_est"].round().astype("int64")
+    return _ensure_cols(out.sort_values("event_type"),
+                        {"event_type": "object", "n_distinct_est": "int64"})
+
+
 def _q_stratified_sample(sf_dir: str):
     """Deterministic content-hash stratified sampling (md5 permille —
     bit-exact DuckDB twin): 20% of English docs, 50% of every other
@@ -848,6 +867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles": _q_approx_quantiles,
         "quantiles_sketch": _q_quantiles_sketch,
         "distinct_count_hll": _q_distinct_count_hll,
+        "distinct_count_hll_by": _q_distinct_count_hll_by,
         "fingerprint": _q_fingerprint,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,

@@ -710,3 +710,25 @@ def test_hash_topk_sample_parallelism_invariant(ray_session):
     assert len(small) == 4
     assert sorted(small["rn"].tolist()) == sorted(
         small.groupby("lang").cumcount().add(1).tolist())
+
+
+def test_hll_distinct_by_error_bound(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from csvweb_ray.ops.sketch import hll_distinct_by
+
+    rng = np.random.RandomState(3)
+    n = 60000
+    df = pd.DataFrame({
+        "g": rng.choice(["x", "y", "z"], n),
+        "v": rng.randint(0, 20000, n)})
+    df.loc[::7, "v"] = None  # NULLs must drop (SQL distinct semantics)
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+        .repartition(11)
+    got = {r.g: r.n_distinct_est
+           for r in hll_distinct_by(ds, "g", "v").to_pandas().itertuples()}
+    exact = df.dropna().groupby("g")["v"].nunique()
+    assert set(got) == set(exact.index)
+    for g, est in got.items():
+        assert abs(est - exact[g]) / exact[g] < 0.05, (g, est, exact[g])
