@@ -296,7 +296,8 @@ def top_ngrams(ds, n: int = 3, k: int = 20, col: str = "text"):
 # TF-IDF top terms per document (distributed DF → broadcast IDF → local top-k)
 
 def tfidf_top_terms(ds, col: str = "text", id_col: str = "doc_id",
-                    top_k: int = 5, token_pattern: str = r"[0-9a-z_]+"):
+                    top_k: int = 5, token_pattern: str = r"[0-9a-z_]+",
+                    idf_mode: str = "broadcast", num_buckets: int = 64):
     """Top-``top_k`` TF-IDF terms per document: ``score = tf ·
     ln(N / df)`` rounded to 6 dp, tie-broken by term — deterministic
     under any row order, which is what makes the DuckDB window-function
@@ -315,11 +316,22 @@ def tfidf_top_terms(ds, col: str = "text", id_col: str = "doc_id",
        ``reindex``, and keeps its own docs' top-k — NO shuffle in this
        pass, since a document's rows live inside one batch.
 
-    100-TB caveat: a web-scale vocabulary's hapax tail can outgrow a
-    broadcast; the scale remedy is a ``min_df`` floor on the idf table
-    or a bucketed term join for pass 2 — this implementation keeps the
-    exact (oracle-twinned) semantics.  The ASCII token pattern matches
-    RE2/DuckDB regex semantics so both engines tokenize identically."""
+    ``idf_mode`` picks the pass-2 idf attachment (both EXACT —
+    equivalence pytest-gated):
+
+    - ``"broadcast"`` (default): the idf Series ships once via
+      ``ray.put`` — right whenever the vocabulary fits one worker, and
+      the shape the oracle query uses;
+    - ``"bucketed"``: the vocabulary NEVER leaves the cluster — the df
+      aggregate stays a Dataset, idf attaches through a term-hash
+      bucketed join (one exchange, one vectorized pandas merge per
+      bucket), and a second doc-hash exchange regroups each document's
+      scored terms for the local top-k.  Three exchanges total, every
+      one hash-partitioned — the 100-TB path for web-scale vocabularies
+      whose hapax tail outgrows a broadcast.
+
+    The ASCII token pattern matches RE2/DuckDB regex semantics so both
+    engines tokenize identically."""
     import pandas as pd
     import ray
     from ray.data.aggregate import Sum
@@ -341,9 +353,12 @@ def tfidf_top_terms(ds, col: str = "text", id_col: str = "doc_id",
             "term": pa.array([t for t, _ in items], pa.string()),
             "df": pa.array([c for _, c in items], pa.int64())})
 
-    agg = (ds.map_batches(_df_partial, batch_format="pyarrow")
-           .groupby("term").aggregate(Sum("df", alias_name="df"))
-           .to_pandas())
+    df_agg = (ds.map_batches(_df_partial, batch_format="pyarrow")
+              .groupby("term").aggregate(Sum("df", alias_name="df")))
+    if idf_mode == "bucketed":
+        return _tfidf_bucketed(ds, df_agg, col, id_col, top_k, tok,
+                               num_buckets)
+    agg = df_agg.to_pandas()
     n_docs = int(agg.loc[agg["term"] == "", "df"].iloc[0])
     vocab = agg[agg["term"] != ""]
     idf = pd.Series(np.log(n_docs / vocab["df"].to_numpy(dtype=np.float64)),
@@ -376,3 +391,88 @@ def tfidf_top_terms(ds, col: str = "text", id_col: str = "doc_id",
                                     preserve_index=False)
 
     return ds.map_batches(_score, batch_format="pyarrow")
+
+
+def _tfidf_bucketed(ds, df_agg, col: str, id_col: str, top_k: int,
+                    tok, num_buckets: int):
+    """The no-broadcast TF-IDF pass 2 (see ``tfidf_top_terms``): the
+    vocabulary stays distributed.  ``df_agg`` materializes into the
+    OBJECT STORE (spillable, vocabulary-sized — never the driver heap);
+    only the scalar N reaches the driver.  Exchange 1 co-locates tf rows
+    with their term's idf row by term hash (typed-null-unified schema,
+    one vectorized merge per bucket — the `_attach_value` lesson);
+    exchange 2 regroups by doc hash for the local top-k."""
+    import pandas as pd
+
+    from pandas.util import hash_array
+
+    df_agg = df_agg.materialize()
+    n_docs = int(df_agg.map_batches(
+        lambda b: b.filter(pc.equal(b["term"], "")),
+        batch_format="pyarrow").to_pandas()["df"].sum())
+
+    def _term_bucket(terms) -> np.ndarray:
+        h = hash_array(np.asarray(terms, dtype=object)).astype(np.uint64)
+        return (h & np.uint64(num_buckets - 1)).astype(np.int32)
+
+    def _unified(bucket, side, terms, ids=None, tf=None, idf=None):
+        n = len(terms)
+        return pa.table({
+            "bucket": pa.array(bucket, pa.int32()),
+            "side": pa.array([side] * n, pa.string()),
+            "term": pa.array(terms, pa.string()),
+            id_col: (pa.array(ids, pa.int64()) if ids is not None
+                     else pa.nulls(n, pa.int64())),
+            "tf": (pa.array(tf, pa.int64()) if tf is not None
+                   else pa.nulls(n, pa.int64())),
+            "idf": (pa.array(idf, pa.float64()) if idf is not None
+                    else pa.nulls(n, pa.float64()))})
+
+    def _idf_rows(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.not_equal(b["term"], ""))
+        terms = t["term"].to_pylist()
+        idf = np.log(n_docs / t["df"].to_numpy(zero_copy_only=False)
+                     .astype(np.float64)) if terms else np.array([])
+        return _unified(_term_bucket(terms) if terms else [], "v",
+                        terms, idf=idf)
+
+    def _tf_rows(b: pa.Table) -> pa.Table:
+        docs, terms = [], []
+        for did, text in zip(b[id_col].to_pylist(), b[col].to_pylist()):
+            ts = tok.findall((text or "").lower())
+            docs.extend([did] * len(ts))
+            terms.extend(ts)
+        if not docs:
+            return _unified([], "t", [])
+        tf = (pd.DataFrame({id_col: docs, "term": terms})
+              .groupby([id_col, "term"], sort=False).size()
+              .reset_index(name="tf"))
+        return _unified(_term_bucket(tf["term"].tolist()), "t",
+                        tf["term"].tolist(), ids=tf[id_col].tolist(),
+                        tf=tf["tf"].to_numpy())
+
+    def _join(g: pd.DataFrame) -> pa.Table:
+        v = g[g["side"] == "v"][["term", "idf"]]
+        t = g[g["side"] == "t"][[id_col, "term", "tf"]]
+        m = t.merge(v, on="term", how="inner")
+        score = np.round(m["tf"].to_numpy(dtype=np.float64)
+                         * m["idf"].to_numpy(), 6)
+        dbucket = (m[id_col].to_numpy(dtype=np.int64)
+                   & (num_buckets - 1)).astype(np.int32)
+        return pa.table({
+            "dbucket": pa.array(dbucket, pa.int32()),
+            id_col: pa.array(m[id_col].to_numpy(), pa.int64()),
+            "term": pa.array(m["term"].tolist(), pa.string()),
+            "score": pa.array(score, pa.float64())})
+
+    def _topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "score", "term"],
+                          ascending=[True, False, True])
+        return (g.groupby(id_col, sort=False).head(top_k)
+                [[id_col, "term", "score"]])
+
+    scored = (ds.map_batches(_tf_rows, batch_format="pyarrow")
+              .union(df_agg.map_batches(_idf_rows, batch_format="pyarrow"))
+              .groupby("bucket").map_groups(_join, batch_format="pandas"))
+    return (scored.groupby("dbucket")
+            .map_groups(_topk, batch_format="pandas"))

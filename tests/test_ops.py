@@ -732,3 +732,26 @@ def test_hll_distinct_by_error_bound(ray_session):
     assert set(got) == set(exact.index)
     for g, est in got.items():
         assert abs(est - exact[g]) / exact[g] < 0.05, (g, est, exact[g])
+
+
+def test_tfidf_bucketed_equals_broadcast(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from csvweb_ray.ops.text import tfidf_top_terms
+
+    rng = np.random.RandomState(9)
+    words = [f"w{i}" for i in range(50)]
+    rows = [{"doc_id": i,
+             "text": " ".join(rng.choice(words, rng.randint(3, 40)))}
+            for i in range(200)] + [{"doc_id": 200, "text": None},
+                                    {"doc_id": 201, "text": "   "}]
+    t = pa.Table.from_pylist(rows)
+    outs = {}
+    for mode in ("broadcast", "bucketed"):
+        ds = rd.from_arrow(t).repartition(7)
+        df = (tfidf_top_terms(ds, top_k=3, idf_mode=mode).to_pandas()
+              .sort_values(["doc_id", "term"]).reset_index(drop=True))
+        outs[mode] = df
+    pd.testing.assert_frame_equal(outs["broadcast"], outs["bucketed"])
+    assert (outs["broadcast"].groupby("doc_id").size() <= 3).all()
